@@ -1,0 +1,26 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with x64 enabled.
+
+Mirrors the reference's `make test` harness role (reference lib Makefile:16-17)
+but with NumPy/SciPy oracles and multi-device sharding tests, per SURVEY.md §4.
+
+Unit tests always run on CPU: the ambient environment pins JAX at a single
+remote TPU tunnel whose per-process plugin initialization blocks for minutes
+and turns every micro-test into a network round trip.  If that tunnel env is
+present we re-exec the test process once with it cleared (benchmarks use the
+real chip separately via bench.py).
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.  (The remote-TPU tunnel env is
+# cleared even earlier, by the _pytest_boot plugin loaded from pytest.ini.)
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
