@@ -61,4 +61,7 @@ from .formats.csr import (  # noqa: F401
     csr_transpose,
 )
 
+from .ops.spgemm import spgemm, spgemm_csr_csr, spgemm_flops  # noqa: F401
+from .ops.spmm import dsmm, spmm  # noqa: F401
+
 __version__ = "0.1.0"

@@ -1,1 +1,1 @@
-from . import segmented  # noqa: F401
+from . import segmented, spgemm, spmm  # noqa: F401

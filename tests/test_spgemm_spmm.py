@@ -1,0 +1,120 @@
+"""SpGEMM + SpMM conformance tests.
+
+Golden SpGEMM vectors from the reference (compressed_test.fut:158-178);
+random property tests against SciPy oracles (SURVEY.md §4 house style).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import sparse_tpu as st
+from sparse_tpu.ops.spgemm import spgemm, spgemm_csr_csr, spgemm_flops
+from sparse_tpu.ops.spmm import dsmm, spmm
+
+
+def dense(a):
+    return np.asarray(a.todense())
+
+
+# reference compressed_test.fut:158-170 golden cases:
+# (n, m, k, A triples, B triples, expected)
+SMSMM_CASES = [
+    (2, 2, 2, [(0, 1, 1)], [(1, 0, 1)], [[1, 0], [0, 0]]),
+    (2, 2, 2, [(1, 0, 1)], [(0, 1, 1)], [[0, 0], [0, 1]]),
+    (2, 3, 4, [(1, 0, 5)], [], [[0, 0, 0, 0], [0, 0, 0, 0]]),
+    (
+        2, 2, 2,
+        [(0, 0, 1), (1, 1, 1)],
+        [(0, 1, 8), (1, 0, 9)],
+        [[0, 8], [9, 0]],
+    ),
+    (
+        2, 2, 2,
+        [(0, 0, 1), (0, 1, 7), (1, 0, 2), (1, 1, 4)],
+        [(0, 0, 3), (0, 1, 3), (1, 0, 5), (1, 1, 2)],
+        [[38, 17], [26, 14]],
+    ),
+]
+
+
+@pytest.mark.parametrize("n,m,k,at,bt,expected", SMSMM_CASES)
+def test_smsmm_golden(n, m, k, at, bt, expected):
+    A = st.csr_from_triples(n, m, at, dtype=np.int64)
+    B = st.csc_from_triples(m, k, bt, dtype=np.int64)
+    C = spgemm(A, B)
+    assert isinstance(C, st.CSR)
+    np.testing.assert_array_equal(dense(C), expected)
+
+
+def test_smsmm_matmul_operator():
+    A = st.csr_from_triples(2, 2, [(0, 0, 1.0), (0, 1, 7.0), (1, 0, 2.0), (1, 1, 4.0)])
+    B = st.csc_from_triples(2, 2, [(0, 0, 3.0), (0, 1, 3.0), (1, 0, 5.0), (1, 1, 2.0)])
+    np.testing.assert_array_equal(dense(A @ B), [[38.0, 17.0], [26.0, 14.0]])
+
+
+def test_spgemm_random_vs_scipy():
+    rng = np.random.default_rng(7)
+    for _ in range(4):
+        n, m, k = (int(x) for x in rng.integers(1, 40, size=3))
+        da = sp.random(n, m, density=0.2, random_state=rng, dtype=np.float64)
+        db = sp.random(m, k, density=0.2, random_state=rng, dtype=np.float64)
+        A = st.csr_from_dense(jnp.asarray(da.toarray()))
+        B = st.csr_from_dense(jnp.asarray(db.toarray()))
+        C = spgemm(A, B)
+        np.testing.assert_allclose(dense(C), (da @ db).toarray(), rtol=1e-12)
+
+
+def test_spgemm_jit_with_static_capacity():
+    A = st.csr_from_triples(2, 2, [(0, 0, 1.0), (0, 1, 7.0), (1, 0, 2.0), (1, 1, 4.0)])
+    Br = st.csr_from_triples(2, 2, [(0, 0, 3.0), (0, 1, 3.0), (1, 0, 5.0), (1, 1, 2.0)])
+    f = int(spgemm_flops(A, Br))
+    assert f == 8
+    C = jax.jit(spgemm_csr_csr, static_argnums=2)(A, Br, f)
+    np.testing.assert_array_equal(dense(C), [[38.0, 17.0], [26.0, 14.0]])
+
+
+def test_spgemm_cancellation_keeps_stored_zero():
+    # A = [[1, 1]], B = [[1], [-1]]: product entries +1 and -1 cancel at (0,0).
+    A = st.csr_from_triples(1, 2, [(0, 0, 1.0), (0, 1, 1.0)])
+    B = st.csc_from_triples(2, 1, [(0, 0, 1.0), (1, 0, -1.0)])
+    C = spgemm(A, B)
+    np.testing.assert_array_equal(dense(C), [[0.0]])
+    # stored but zero: nnz counts only non-zero stored values
+    assert int(st.csr_nnz(C)) == 0
+    assert int(C.indptr[-1]) == 1  # the explicit zero occupies a slot
+
+
+# ---------------------------------------------------------------------------
+# SpMM
+# ---------------------------------------------------------------------------
+def test_spmm_vs_scipy():
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        n, m, k = (int(x) for x in rng.integers(1, 50, size=3))
+        da = sp.random(n, m, density=0.25, random_state=rng, dtype=np.float64).tocsr()
+        b = rng.standard_normal((m, k))
+        A = st.csr_from_dense(jnp.asarray(da.toarray()))
+        np.testing.assert_allclose(
+            np.asarray(spmm(A, jnp.asarray(b))), da @ b, rtol=1e-12
+        )
+
+
+def test_spmm_matmul_operator_and_jit():
+    A = st.csr_from_triples(2, 3, [(0, 0, 2.0), (1, 2, 3.0)])
+    B = jnp.arange(6, dtype=jnp.float64).reshape(3, 2)
+    np.testing.assert_array_equal(np.asarray(A @ B), [[0.0, 2.0], [12.0, 15.0]])
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(spmm)(A, B)), [[0.0, 2.0], [12.0, 15.0]]
+    )
+
+
+def test_dsmm_vs_scipy():
+    rng = np.random.default_rng(4)
+    n, m, k = 17, 23, 5
+    da = sp.random(n, m, density=0.3, random_state=rng, dtype=np.float64)
+    b = rng.standard_normal((k, n))
+    A = st.csc_from_dense(jnp.asarray(da.toarray()))
+    np.testing.assert_allclose(np.asarray(dsmm(jnp.asarray(b), A)), b @ da, rtol=1e-12)
