@@ -61,6 +61,38 @@ from .formats.csr import (  # noqa: F401
     csr_transpose,
 )
 
+from .formats.mono import (  # noqa: F401
+    MSC,
+    MSR,
+    msc_add,
+    msc_diag,
+    msc_empty,
+    msc_eye,
+    msc_from_coo,
+    msc_from_triples,
+    msc_nnz,
+    msc_scale,
+    msc_sub,
+    msc_to_coo,
+    msc_todense,
+    msc_transpose,
+    msc_vsmm,
+    msr_add,
+    msr_diag,
+    msr_dmsmm,
+    msr_empty,
+    msr_eye,
+    msr_from_coo,
+    msr_from_triples,
+    msr_nnz,
+    msr_scale,
+    msr_smvm,
+    msr_sub,
+    msr_to_coo,
+    msr_todense,
+    msr_transpose,
+    msr_vsmm,
+)
 from .ops.spgemm import spgemm, spgemm_csr_csr, spgemm_flops  # noqa: F401
 from .ops.spmm import dsmm, spmm  # noqa: F401
 

@@ -1,1 +1,1 @@
-from . import coo, csr  # noqa: F401
+from . import coo, csr, mono  # noqa: F401
