@@ -93,6 +93,23 @@ from .formats.mono import (  # noqa: F401
     msr_transpose,
     msr_vsmm,
 )
+from .formats.triangular import (  # noqa: F401
+    Triangular,
+    tri_add,
+    tri_diag,
+    tri_elements,
+    tri_eye,
+    tri_from_dense,
+    tri_idx,
+    tri_map,
+    tri_nnz,
+    tri_scale,
+    tri_smm,
+    tri_sub,
+    tri_todense,
+    tri_transpose,
+    tri_zero,
+)
 from .ops.spgemm import spgemm, spgemm_csr_csr, spgemm_flops  # noqa: F401
 from .ops.spmm import dsmm, spmm  # noqa: F401
 
