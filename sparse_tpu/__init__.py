@@ -110,6 +110,23 @@ from .formats.triangular import (  # noqa: F401
     tri_transpose,
     tri_zero,
 )
+from .formats.trapezoidal import (  # noqa: F401
+    Trapezoidal,
+    trap_add,
+    trap_diag,
+    trap_elements,
+    trap_eye,
+    trap_from_dense,
+    trap_idx,
+    trap_map,
+    trap_nnz,
+    trap_scale,
+    trap_smm,
+    trap_sub,
+    trap_todense,
+    trap_transpose,
+    trap_zero,
+)
 from .ops.spgemm import spgemm, spgemm_csr_csr, spgemm_flops  # noqa: F401
 from .ops.spmm import dsmm, spmm  # noqa: F401
 
