@@ -1,0 +1,499 @@
+"""BSR: blocked square regular sparse matrices.
+
+TPU-native re-design of the reference's ``blocked_square_regular`` functor
+(blocked_square_regular.fut:156-639): an ``n x n`` matrix stored as a sparse
+set of identically-sized dense ``bsz x bsz`` blocks, with ``bsz | n``.
+
+Representation (vs reference type at blocked_square_regular.fut:179-183):
+
+* ``indices``: [nbz] int32 flattened block coordinates ``r * nb + c``
+  (``nb = n/bsz`` blocks per dimension), **sorted ascending**, padding slots
+  carry the sentinel ``nb*nb``;
+* ``blocks``: [nbz, bsz, bsz] values; padding blocks are all-zero.
+
+Static capacity ``nbz`` + sentinel padding replaces the reference's
+size-lifted arrays, so every op is jit/vmap/shard_map compatible.  Unlike the
+reference (whose ``transp`` leaves indices unsorted and whose set ops re-sort
+on demand, blocked_square_regular.fut:226-256), we maintain the sorted
+invariant everywhere — one ``jax.lax.sort`` per structural op.
+
+All block-level math is batched dense math (``einsum`` over the block axis),
+which XLA maps onto the MXU; block sizes of 8/128 align with TPU tiling,
+while tiny reference-style ``bsz=2..4`` still work (tests use both).
+
+The LU solver stack lives in ``sparse_tpu.solve``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.segmented import (
+    INDEX_DTYPE,
+    cumsum_exclusive,
+    expand,
+    segment_sum,
+)
+from .coo import COO, coo_normalize
+
+__all__ = [
+    "BSR",
+    "bsr_make",
+    "bsr_zero",
+    "bsr_eye",
+    "bsr_diag",
+    "bsr_from_dense",
+    "bsr_todense",
+    "bsr_transpose",
+    "bsr_add",
+    "bsr_sub",
+    "bsr_mul",
+    "bsr_scale",
+    "bsr_smvm",
+    "bsr_smsmm",
+    "bsr_nnz",
+    "bsr_to_coo",
+    "bsr_from_coo",
+    "bsr_compact",
+]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["indices", "blocks"],
+    meta_fields=["n", "bsz"],
+)
+@dataclasses.dataclass(frozen=True)
+class BSR:
+    """Blocked square sparse matrix with static block capacity.
+
+    Invariants: ``indices`` sorted ascending; valid entries are unique
+    flattened block coords in ``[0, nb*nb)``; padding entries carry the
+    sentinel ``nb*nb`` and all-zero blocks.
+    """
+
+    indices: jax.Array
+    blocks: jax.Array
+    n: int
+    bsz: int
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.n, self.n)
+
+    @property
+    def nb(self) -> int:
+        """Blocks per dimension (``n / bsz``)."""
+        return self.n // self.bsz
+
+    @property
+    def nbz(self) -> int:
+        """Stored block capacity."""
+        return self.indices.shape[0]
+
+    @property
+    def sentinel(self) -> int:
+        return self.nb * self.nb
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    def __add__(self, other: "BSR") -> "BSR":
+        return bsr_add(self, other)
+
+    def __sub__(self, other: "BSR") -> "BSR":
+        return bsr_sub(self, other)
+
+    def __mul__(self, v) -> "BSR":
+        if isinstance(v, BSR):
+            return bsr_mul(self, v)
+        return bsr_scale(v, self)
+
+    def __rmul__(self, v) -> "BSR":
+        return bsr_scale(v, self)
+
+    def __matmul__(self, other):
+        if isinstance(other, BSR):
+            return bsr_smsmm(self, other)
+        other = jnp.asarray(other)
+        if other.ndim == 1:
+            return bsr_smvm(self, other)
+        return NotImplemented
+
+    @property
+    def T(self) -> "BSR":
+        return bsr_transpose(self)
+
+    def todense(self) -> jax.Array:
+        return bsr_todense(self)
+
+    def nnz(self) -> jax.Array:
+        return bsr_nnz(self)
+
+
+def _check_divides(n: int, bsz: int) -> None:
+    # mirrors ERROR_block_size_must_divide_n (blocked_square_regular.fut:175,196)
+    if n % bsz != 0:
+        raise ValueError(f"block size {bsz} must divide n={n}")
+
+
+def _rc(a: BSR) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(valid, block_row, block_col) with sentinels: row=nb, col=0 for padding."""
+    nb = a.nb
+    valid = a.indices < a.sentinel
+    r = jnp.where(valid, a.indices // max(nb, 1), nb).astype(INDEX_DTYPE)
+    c = jnp.where(valid, a.indices % max(nb, 1), 0).astype(INDEX_DTYPE)
+    return valid, r, c
+
+
+def _merge_blocks(n: int, bsz: int, idxs: jax.Array, blocks: jax.Array) -> BSR:
+    """Sort block entries by flattened index, sum duplicates, pack valid
+    entries at the front.  The engine behind ``add``/``transpose``/``smsmm``
+    accumulation (role of the reference's sorted-set machinery,
+    blocked_square_regular.fut:234-256, and its segmented block reduction at
+    :349-359).  jit-compatible; capacity preserved."""
+    nb = n // bsz
+    sentinel = nb * nb
+    nbz = idxs.shape[0]
+    if nbz == 0:
+        return BSR(indices=idxs, blocks=blocks, n=n, bsz=bsz)
+    order = jnp.argsort(idxs, stable=True)
+    idxs = idxs[order]
+    blocks = blocks[order]
+    valid = idxs < sentinel
+    is_head = jnp.concatenate(
+        [jnp.ones((1,), bool), idxs[1:] != idxs[:-1]]
+    ) & valid
+    group = jnp.cumsum(is_head.astype(INDEX_DTYPE)) - 1
+    target = jnp.where(valid, group, nbz)
+    out_blocks = jnp.zeros_like(blocks).at[target].add(blocks, mode="drop")
+    out_idx = jnp.full((nbz,), sentinel, INDEX_DTYPE).at[
+        jnp.where(is_head, group, nbz)
+    ].set(idxs, mode="drop")
+    # zero any block in padding slots (slots never written stay zero)
+    k = jnp.sum(is_head.astype(INDEX_DTYPE))
+    pos = jnp.arange(nbz, dtype=INDEX_DTYPE)
+    out_blocks = jnp.where((pos < k)[:, None, None], out_blocks, 0)
+    return BSR(indices=out_idx, blocks=out_blocks, n=n, bsz=bsz)
+
+
+# -- constructors -------------------------------------------------------------
+
+
+def bsr_zero(n: int, bsz: int, nbz: int = 0, dtype=jnp.float32) -> BSR:
+    """Zero matrix with optional pre-allocated block capacity (reference
+    ``zero``, blocked_square_regular.fut:189-193)."""
+    _check_divides(n, bsz)
+    nb = n // bsz
+    return BSR(
+        indices=jnp.full((nbz,), nb * nb, INDEX_DTYPE),
+        blocks=jnp.zeros((nbz, bsz, bsz), dtype),
+        n=n,
+        bsz=bsz,
+    )
+
+
+def bsr_make(n: int, bsz: int, entries, dtype=None) -> BSR:
+    """Eager construction from ``[(r, c, block), ...]`` block triples with
+    host-side bounds checks (reference ``mk``, blocked_square_regular.fut:
+    195-201).  Duplicate coordinates are summed."""
+    _check_divides(n, bsz)
+    nb = n // bsz
+    entries = list(entries)
+    if not entries:
+        return bsr_zero(n, bsz, 0, dtype or jnp.float32)
+    rs = np.asarray([e[0] for e in entries], np.int64)
+    cs = np.asarray([e[1] for e in entries], np.int64)
+    blks = np.stack([np.asarray(e[2]) for e in entries])
+    if dtype is not None:
+        blks = blks.astype(dtype)
+    if blks.shape[1:] != (bsz, bsz):
+        raise ValueError(f"blocks must be {bsz}x{bsz}; got {blks.shape[1:]}")
+    if rs.size and (rs.min() < 0 or rs.max() >= nb or cs.min() < 0 or cs.max() >= nb):
+        raise ValueError(f"block coordinate out of bounds for {nb}x{nb} blocks")
+    idxs = jnp.asarray(rs * nb + cs, INDEX_DTYPE)
+    return _merge_blocks(n, bsz, idxs, jnp.asarray(blks))
+
+
+def bsr_eye(n: int, bsz: int, dtype=jnp.float32) -> BSR:
+    """Identity (reference ``eye``, blocked_square_regular.fut:208-210)."""
+    _check_divides(n, bsz)
+    nb = n // bsz
+    i = jnp.arange(nb, dtype=INDEX_DTYPE)
+    blk = jnp.eye(bsz, dtype=dtype)
+    return BSR(
+        indices=i * nb + i,
+        blocks=jnp.broadcast_to(blk, (nb, bsz, bsz)),
+        n=n,
+        bsz=bsz,
+    )
+
+
+def bsr_diag(v: jax.Array, bsz: int) -> BSR:
+    """Diagonal matrix from a length-n vector (reference ``diag``,
+    blocked_square_regular.fut:301-305)."""
+    v = jnp.asarray(v)
+    n = v.shape[0]
+    _check_divides(n, bsz)
+    nb = n // bsz
+    i = jnp.arange(nb, dtype=INDEX_DTYPE)
+    vb = v.reshape(nb, bsz)
+    blocks = vb[:, :, None] * jnp.eye(bsz, dtype=v.dtype)[None]
+    return BSR(indices=i * nb + i, blocks=blocks, n=n, bsz=bsz)
+
+
+def bsr_from_dense(x: jax.Array, bsz: int, nbz: int | None = None) -> BSR:
+    """Extract non-zero blocks from a dense matrix.  Eager when ``nbz`` is
+    None (concretizes the block count); pass a static capacity for jit."""
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    if x.shape != (n, n):
+        raise ValueError(f"BSR matrices are square; got {x.shape}")
+    _check_divides(n, bsz)
+    nb = n // bsz
+    xb = x.reshape(nb, bsz, nb, bsz).transpose(0, 2, 1, 3)  # (nb, nb, bsz, bsz)
+    nz = jnp.any(xb != 0, axis=(2, 3)).reshape(-1)
+    if nbz is None:
+        nbz = int(jnp.sum(nz))  # host sync; eager only
+    total = nb * nb
+    order = jnp.argsort(~nz, stable=True)
+    idx = order[:nbz] if nbz <= total else jnp.concatenate(
+        [order, jnp.zeros((nbz - total,), order.dtype)]
+    )
+    taken_valid = (
+        nz[idx]
+        if nbz <= total
+        else jnp.concatenate([nz[order], jnp.zeros((nbz - total,), bool)])
+    )
+    idxs = jnp.where(taken_valid, idx.astype(INDEX_DTYPE), total)
+    blocks = jnp.where(
+        taken_valid[:, None, None], xb.reshape(total, bsz, bsz)[idx], 0
+    )
+    return _merge_blocks(n, bsz, idxs, blocks)
+
+
+# -- conversions ---------------------------------------------------------------
+
+
+def bsr_todense(a: BSR) -> jax.Array:
+    """Dense conversion (reference ``dense``, blocked_square_regular.fut:
+    212-224)."""
+    nb, bsz = a.nb, a.bsz
+    dense_blocks = jnp.zeros((nb * nb + 1, bsz, bsz), a.dtype).at[a.indices].add(
+        a.blocks, mode="drop"
+    )[: nb * nb]
+    return (
+        dense_blocks.reshape(nb, nb, bsz, bsz)
+        .transpose(0, 2, 1, 3)
+        .reshape(a.n, a.n)
+    )
+
+
+def bsr_transpose(a: BSR) -> BSR:
+    """Transpose: swap block coordinates and transpose each block (reference
+    ``transp``, blocked_square_regular.fut:226-232); one sort restores the
+    sorted-indices invariant the reference defers to consumers."""
+    valid, r, c = _rc(a)
+    new_idx = jnp.where(valid, c * a.nb + r, a.sentinel).astype(INDEX_DTYPE)
+    return _merge_blocks(a.n, a.bsz, new_idx, jnp.swapaxes(a.blocks, 1, 2))
+
+
+def bsr_to_coo(a: BSR) -> COO:
+    """Scalar COO of all stored elements; zero values within blocks are
+    marked as padding, matching the reference's filtering ``coo``
+    (blocked_square_regular.fut:605-614).  Capacity = nbz * bsz^2."""
+    nb, bsz, n = a.nb, a.bsz, a.n
+    valid, r, c = _rc(a)
+    i_loc = jnp.arange(bsz, dtype=INDEX_DTYPE)
+    rows = (r[:, None, None] * bsz + i_loc[None, :, None]).astype(INDEX_DTYPE)
+    cols = (c[:, None, None] * bsz + i_loc[None, None, :]).astype(INDEX_DTYPE)
+    keep = valid[:, None, None] & (a.blocks != 0)
+    rows = jnp.where(keep, rows, n).reshape(-1)
+    cols = jnp.where(keep, cols, n).reshape(-1)
+    data = jnp.where(keep, a.blocks, 0).reshape(-1)
+    return coo_normalize(COO(row=rows, col=cols, data=data, shape=(n, n)))
+
+
+def bsr_from_coo(a: COO, bsz: int, nbz: int | None = None) -> BSR:
+    """Assemble blocks from scalar COO triples (reference ``from_coo``,
+    blocked_square_regular.fut:616-637).  jit-compatible when ``nbz`` (block
+    capacity) is given; defaults to one block per COO slot (upper bound)."""
+    n, m = a.shape
+    if n != m:
+        raise ValueError(f"BSR matrices are square; got {a.shape}")
+    _check_divides(n, bsz)
+    nb = n // bsz
+    sentinel = nb * nb
+    a = coo_normalize(a)
+    nse = a.nse
+    if nbz is None:
+        nbz = nse
+    valid = a.row < n
+    h = jnp.where(valid, (a.row // bsz) * nb + (a.col // bsz), sentinel).astype(
+        INDEX_DTYPE
+    )
+    # group scalar entries by block: sorted h (coo sorted by (r,c) is NOT
+    # sorted by block id), so sort by h first
+    order = jnp.argsort(h, stable=True)
+    h = h[order]
+    row_l = jnp.where(valid, a.row % bsz, 0)[order].astype(INDEX_DTYPE)
+    col_l = jnp.where(valid, a.col % bsz, 0)[order].astype(INDEX_DTYPE)
+    data = a.data[order]
+    is_head = jnp.concatenate([jnp.ones((1,), bool), h[1:] != h[:-1]]) & (
+        h < sentinel
+    )
+    group = jnp.cumsum(is_head.astype(INDEX_DTYPE)) - 1
+    group = jnp.where(h < sentinel, group, nbz)
+    blocks = jnp.zeros((nbz, bsz, bsz), a.dtype).at[group, row_l, col_l].add(
+        data, mode="drop"
+    )
+    idxs = jnp.full((nbz,), sentinel, INDEX_DTYPE).at[
+        jnp.where(is_head, group, nbz)
+    ].set(h, mode="drop")
+    return BSR(indices=idxs, blocks=blocks, n=n, bsz=bsz)
+
+
+def bsr_compact(a: BSR) -> BSR:
+    """Eager: trim capacity to the exact valid block count (host sync)."""
+    k = int(jnp.sum(a.indices < a.sentinel))
+    return BSR(indices=a.indices[:k], blocks=a.blocks[:k], n=a.n, bsz=a.bsz)
+
+
+# -- elementwise / structural ops ---------------------------------------------
+
+
+def bsr_add(a: BSR, b: BSR) -> BSR:
+    """Element-wise addition by block-set union (reference ``add``,
+    blocked_square_regular.fut:258-275).  Capacity = nbz(a) + nbz(b)."""
+    _check_compat(a, b, "add")
+    return _merge_blocks(
+        a.n,
+        a.bsz,
+        jnp.concatenate([a.indices, b.indices]),
+        jnp.concatenate([a.blocks, b.blocks]),
+    )
+
+
+def bsr_sub(a: BSR, b: BSR) -> BSR:
+    """Element-wise subtraction (reference ``sub``,
+    blocked_square_regular.fut:277-278)."""
+    return bsr_add(a, bsr_scale(jnp.asarray(-1, b.dtype), b))
+
+
+def bsr_mul(a: BSR, b: BSR) -> BSR:
+    """Element-wise (Hadamard) multiplication by block-set intersection
+    (reference ``mul``, blocked_square_regular.fut:280-290).  Capacity =
+    nbz(a)."""
+    _check_compat(a, b, "mul")
+    if a.nbz == 0 or b.nbz == 0:
+        return bsr_zero(a.n, a.bsz, a.nbz, jnp.result_type(a.dtype, b.dtype))
+    pos = jnp.searchsorted(b.indices, a.indices).astype(INDEX_DTYPE)
+    pos = jnp.minimum(pos, b.nbz - 1)
+    found = (b.indices[pos] == a.indices) & (a.indices < a.sentinel)
+    idxs = jnp.where(found, a.indices, a.sentinel).astype(INDEX_DTYPE)
+    blocks = jnp.where(found[:, None, None], a.blocks * b.blocks[pos], 0)
+    return _merge_blocks(a.n, a.bsz, idxs, blocks)  # re-pack sentinels
+
+
+def bsr_scale(v, a: BSR) -> BSR:
+    """Scale all elements (reference ``scale``, blocked_square_regular.fut:
+    292-296)."""
+    return dataclasses.replace(a, blocks=a.blocks * v)
+
+
+def bsr_nnz(a: BSR) -> jax.Array:
+    """Count non-zero scalars inside valid blocks (consistent with the
+    reference's zero-filtering ``coo``, blocked_square_regular.fut:614)."""
+    valid, _, _ = _rc(a)
+    return jnp.sum(jnp.where(valid[:, None, None], a.blocks != 0, False)).astype(
+        INDEX_DTYPE
+    )
+
+
+def _check_compat(a: BSR, b: BSR, op: str) -> None:
+    if a.n != b.n or a.bsz != b.bsz:
+        raise ValueError(
+            f"bsr_{op}: incompatible operands n={a.n}/{b.n} bsz={a.bsz}/{b.bsz}"
+        )
+
+
+# -- matmul -------------------------------------------------------------------
+
+
+def bsr_smvm(a: BSR, v: jax.Array) -> jax.Array:
+    """Block sparse matrix-vector product: batched block matvec + block-row
+    segment-sum (reference ``smvm``, blocked_square_regular.fut:307-331).
+    The batched einsum maps onto the MXU for bsz >= 8."""
+    v = jnp.asarray(v)
+    if v.shape != (a.n,):
+        raise ValueError(f"bsr_smvm: vector shape {v.shape} != ({a.n},)")
+    out_dtype = jnp.result_type(a.dtype, v.dtype)
+    nb, bsz = a.nb, a.bsz
+    if a.nbz == 0 or a.n == 0:
+        return jnp.zeros((a.n,), out_dtype)
+    valid, r, c = _rc(a)
+    vb = v.reshape(nb, bsz)[c]  # (nbz, bsz); padding c=0 but block is zero
+    w = jnp.einsum("bij,bj->bi", a.blocks, vb).astype(out_dtype)
+    return segment_sum(w, r, nb).reshape(a.n)
+
+
+def bsr_smsmm_core(a: BSR, b: BSR, expansion_nbz: int) -> BSR:
+    """jit-compatible block SpGEMM core with static block-product capacity.
+
+    Same ESC formulation as the scalar SpGEMM (ops/spgemm.py) lifted to
+    blocks: expand actual block pairs (A block column == B block row), batch
+    the bsz^3 products through one einsum (MXU), merge by target coordinate.
+    Matches the reference ``smsmm`` semantics (blocked_square_regular.fut:
+    336-363) with a different (pair-exact rather than intersect-per-pair)
+    parallel decomposition.
+    """
+    _check_compat(a, b, "smsmm")
+    n, bsz, nb = a.n, a.bsz, a.nb
+    out_dtype = jnp.result_type(a.dtype, b.dtype)
+    if expansion_nbz == 0 or a.nbz == 0 or b.nbz == 0:
+        return bsr_zero(n, bsz, expansion_nbz, out_dtype)
+    valid_a, a_r, a_c = _rc(a)
+    valid_b, b_r, b_c = _rc(b)
+    b_row_counts = segment_sum(valid_b.astype(INDEX_DTYPE), b_r, nb)
+    b_row_ptr = cumsum_exclusive(b_row_counts)
+    sizes = jnp.where(valid_a, b_row_counts[jnp.minimum(a_c, nb - 1)], 0).astype(
+        INDEX_DTYPE
+    )
+    elem_ids, inner = expand(sizes, expansion_nbz)
+    live = elem_ids < a.nbz
+    e = jnp.where(live, elem_ids, 0)
+    b_pos = b_row_ptr[jnp.minimum(a_c[e], nb - 1)].astype(INDEX_DTYPE) + inner
+    b_pos = jnp.minimum(b_pos, max(b.nbz - 1, 0))
+    prods = jnp.einsum(
+        "fij,fjk->fik", a.blocks[e], b.blocks[b_pos],
+        preferred_element_type=out_dtype,
+    )
+    target = jnp.where(
+        live & valid_a[e], a_r[e] * nb + b_c[b_pos], nb * nb
+    ).astype(INDEX_DTYPE)
+    prods = jnp.where((target < nb * nb)[:, None, None], prods, 0)
+    return _merge_blocks(n, bsz, target, prods.astype(out_dtype))
+
+
+def bsr_smsmm(a: BSR, b: BSR, *, expansion_nbz: int | None = None,
+              compact: bool = True) -> BSR:
+    """Block sparse x sparse matmul (reference ``smsmm``,
+    blocked_square_regular.fut:336-363).  With ``expansion_nbz=None`` the
+    symbolic pair count runs eagerly (host sync); pass a static bound for
+    full jit-compatibility."""
+    if expansion_nbz is None:
+        valid_a, _, a_c = _rc(a)
+        valid_b, b_r, _ = _rc(b)
+        counts = segment_sum(valid_b.astype(INDEX_DTYPE), b_r, max(a.nb, 1))
+        f = int(
+            jnp.sum(jnp.where(valid_a, counts[jnp.minimum(a_c, max(a.nb - 1, 0))], 0))
+        )
+        out = bsr_smsmm_core(a, b, f)
+        return bsr_compact(out) if compact else out
+    return bsr_smsmm_core(a, b, expansion_nbz)

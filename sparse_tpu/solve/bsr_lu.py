@@ -1,0 +1,305 @@
+"""Block-sparse LU factorization and direct solver for BSR matrices.
+
+TPU-native re-design of the reference's solver stack
+(blocked_square_regular.fut:366-603): right-looking block LU with
+block-limited partial pivoting, symbolic fill-in analysis, factor extraction,
+block triangular solves, and the direct solver ``ols``.
+
+Design: the *sparsity pattern is static data* — symbolic analysis (fill-in
+discovery, per-step block plans) runs host-side in NumPy once per pattern,
+exactly like real sparse direct solvers separate symbolic and numeric phases.
+The numeric phase then executes on device with static gather/scatter index
+plans: per block column, one dense ``lup_dense`` of the diagonal block, one
+batched triangular solve for the column/row panels (vmap -> MXU), and one
+batched Schur-complement einsum.  The sequential critical path over block
+columns (inherent to right-looking LU, see SURVEY.md §3.3) stays as a host
+loop over ``nb`` steps; all heavy math per step is batched device work.
+
+Contract preserved (blocked_square_regular.fut:87-140): ``lup a`` returns
+``(LU, p)`` with ``permute(p, dense(a)) == dense(lower LU @ upper LU)``;
+``lower`` is strict-lower + unit diagonal; ``upper`` includes the diagonal;
+``forsolve`` reads only the strict lower part (implicit unit diagonal);
+``backsolve`` reads the upper part and divides by the diagonal; ``ols`` is
+``backsolve . forsolve . permute . lup``.  Pivoting is limited to within a
+block, like the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.bsr import BSR, bsr_add, bsr_eye, bsr_make, bsr_zero
+from ..linalg.dense import (
+    backsolve_dense,
+    forsolve_dense,
+    lu_dense,
+    lup_dense,
+    perm_id,
+    rowsolve_upper,
+)
+from ..ops.segmented import INDEX_DTYPE
+
+__all__ = [
+    "bsr_lu_find_fills",
+    "bsr_lup_nofill",
+    "bsr_lup",
+    "bsr_lu_nofill",
+    "bsr_lu",
+    "bsr_lower",
+    "bsr_upper",
+    "bsr_forsolve",
+    "bsr_backsolve",
+    "bsr_ols",
+]
+
+
+def _host_pattern(a: BSR) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(positions, rows, cols) of valid blocks, host-side."""
+    idxs = np.asarray(a.indices)
+    nb = a.nb
+    valid = idxs < nb * nb
+    pos = np.nonzero(valid)[0]
+    return pos, idxs[pos] // nb, idxs[pos] % nb
+
+
+def bsr_lu_find_fills(a: BSR) -> np.ndarray:
+    """Symbolic fill-in positions for LU, as an array of (block_row,
+    block_col) pairs in discovery order (reference ``lu_find_fills``,
+    blocked_square_regular.fut:366-380).
+
+    Host-side sequential sweep over block columns — this is the symbolic
+    phase of a sparse direct solver and runs once per sparsity pattern.
+    """
+    nb = a.nb
+    _, rs, cs = _host_pattern(a)
+    pattern = set(zip(rs.tolist(), cs.tolist()))
+    acc: list[tuple[int, int]] = []
+    live = set(pattern)
+    for i in range(nb):
+        row_i = sorted(c for (r, c) in live if r == i and c > i)
+        col_i = sorted(r for (r, c) in live if c == i and r > i)
+        fills = [
+            (r, c) for r in col_i for c in row_i if (r, c) not in live
+        ]
+        live = {(r, c) for (r, c) in live if r > i and c > i}
+        live.update(fills)
+        acc.extend(fills)
+    return np.asarray(acc, np.int64).reshape(-1, 2)
+
+
+def _diag_pos(pos, rs, cs, i: int) -> int:
+    hits = pos[(rs == i) & (cs == i)]
+    # mirrors ERROR_diagonal_block_must_be_nonempty (blocked:176, 429)
+    if hits.size != 1:
+        raise ValueError(
+            f"LU: diagonal block ({i},{i}) must be present exactly once "
+            f"(found {hits.size}); add fill blocks or use bsr_lup"
+        )
+    return int(hits[0])
+
+
+def _lu_numeric(a: BSR, pivot: bool) -> tuple[BSR, jax.Array]:
+    """Right-looking block LU over a fixed pattern (no fill); numeric phase.
+
+    Reference ``lup_nofill`` (blocked_square_regular.fut:414-464) and
+    ``lu_nofill`` (:502-546).  Host loop over block columns with
+    NumPy-precomputed index plans; device math is batched per step.
+    """
+    nb, bsz = a.nb, a.bsz
+    pos, rs, cs = _host_pattern(a)
+    blocks = a.blocks
+    perms = []
+    for i in range(nb):
+        hd = _diag_pos(pos, rs, cs, i)
+        if pivot:
+            lu_d, p = lup_dense(blocks[hd])
+        else:
+            lu_d = lu_dense(blocks[hd])
+            p = perm_id(bsz)
+        blocks = blocks.at[hd].set(lu_d)
+        h21 = pos[(rs > i) & (cs == i)]  # column panel below the diagonal
+        h12 = pos[(rs == i) & (cs > i)]  # row panel right of the diagonal
+        if h21.size:
+            # X21 solves X @ U = A per block (reference backsolve' per row,
+            # blocked:433-435)
+            x21 = jax.vmap(lambda B: rowsolve_upper(lu_d, B))(blocks[h21])
+            blocks = blocks.at[h21].set(x21)
+        if h12.size:
+            # X12 = L^-1 P A12 (blocked:436-439)
+            x12 = jax.vmap(lambda B: forsolve_dense(lu_d, B[p]))(blocks[h12])
+            blocks = blocks.at[h12].set(x12)
+        if h21.size and h12.size:
+            # Schur update D -= X21 @ X12 on *existing* targets only
+            # ("ignore fillins", blocked:443-456)
+            r21 = rs[np.searchsorted(pos, h21)]
+            c12 = cs[np.searchsorted(pos, h12)]
+            tgt_r = np.repeat(r21, h12.size)
+            tgt_c = np.tile(c12, h21.size)
+            flat = {(int(r), int(c)): int(h) for h, r, c in zip(pos, rs, cs)}
+            pairs = [
+                (h1, h2, flat[(int(r), int(c))])
+                for h1, r in zip(h21, r21)
+                for h2, c in zip(h12, c12)
+                if (int(r), int(c)) in flat
+            ]
+            del tgt_r, tgt_c
+            if pairs:
+                i1 = jnp.asarray([q[0] for q in pairs], INDEX_DTYPE)
+                i2 = jnp.asarray([q[1] for q in pairs], INDEX_DTYPE)
+                it = jnp.asarray([q[2] for q in pairs], INDEX_DTYPE)
+                prods = jnp.einsum(
+                    "fij,fjk->fik", blocks[i1], blocks[i2],
+                    preferred_element_type=blocks.dtype,
+                )
+                blocks = blocks.at[it].add(-prods)
+        if pivot:
+            # apply this step's pivot to the already-final L blocks left of
+            # the diagonal in block row i (blocked:457-459)
+            hl = pos[(rs == i) & (cs < i)]
+            if hl.size:
+                blocks = blocks.at[hl].set(blocks[hl][:, p, :])
+            perms.append(jnp.asarray(i * bsz, INDEX_DTYPE) + p)
+    lu_mat = BSR(indices=a.indices, blocks=blocks, n=a.n, bsz=a.bsz)
+    p_full = (
+        jnp.concatenate(perms) if perms else perm_id(a.n)
+    )
+    return lu_mat, p_full
+
+
+def bsr_lup_nofill(a: BSR) -> tuple[BSR, jax.Array]:
+    """LU with block-limited partial pivoting over the existing pattern
+    (reference ``lup_nofill``, blocked_square_regular.fut:414-464)."""
+    return _lu_numeric(a, pivot=True)
+
+
+def bsr_lu_nofill(a: BSR) -> BSR:
+    """LU without pivoting over the existing pattern (reference
+    ``lu_nofill``, blocked_square_regular.fut:502-546)."""
+    return _lu_numeric(a, pivot=False)[0]
+
+
+def _with_fills(a: BSR) -> BSR:
+    fills = bsr_lu_find_fills(a)
+    if fills.size == 0:
+        return a
+    zero_blk = np.zeros((a.bsz, a.bsz), np.asarray(a.blocks).dtype)
+    x = bsr_make(a.n, a.bsz, [(int(r), int(c), zero_blk) for r, c in fills])
+    return bsr_add(a, x)
+
+
+def bsr_lup(a: BSR) -> tuple[BSR, jax.Array]:
+    """Symbolic fill-in + pivoted numeric factorization (reference ``lup``,
+    blocked_square_regular.fut:466-469)."""
+    return bsr_lup_nofill(_with_fills(a))
+
+
+def bsr_lu(a: BSR) -> BSR:
+    """Fill-in + non-pivoting factorization (reference ``lu``,
+    blocked_square_regular.fut:548-551)."""
+    return bsr_lu_nofill(_with_fills(a))
+
+
+# -- factor extraction ---------------------------------------------------------
+
+
+def bsr_lower(a: BSR) -> BSR:
+    """Strictly-lower part + unit diagonal (reference ``lower``,
+    blocked_square_regular.fut:477-488)."""
+    valid = a.indices < a.sentinel
+    nb = a.nb
+    r = a.indices // max(nb, 1)
+    c = a.indices % max(nb, 1)
+    keep = valid & (r >= c)
+    idxs = jnp.where(keep, a.indices, a.sentinel).astype(INDEX_DTYPE)
+    on_diag = keep & (r == c)
+    strict = jnp.tril(jnp.ones((a.bsz, a.bsz), bool), -1)
+    blocks = jnp.where(
+        on_diag[:, None, None],
+        jnp.where(strict[None], a.blocks, 0),
+        jnp.where(keep[:, None, None], a.blocks, 0),
+    )
+    return bsr_add(bsr_eye(a.n, a.bsz, a.dtype), BSR(idxs, blocks, a.n, a.bsz))
+
+
+def bsr_upper(a: BSR) -> BSR:
+    """Upper part incl. diagonal (reference ``upper``,
+    blocked_square_regular.fut:490-500)."""
+    valid = a.indices < a.sentinel
+    nb = a.nb
+    r = a.indices // max(nb, 1)
+    c = a.indices % max(nb, 1)
+    keep = valid & (r <= c)
+    idxs = jnp.where(keep, a.indices, a.sentinel).astype(INDEX_DTYPE)
+    on_diag = keep & (r == c)
+    upper = jnp.triu(jnp.ones((a.bsz, a.bsz), bool))
+    blocks = jnp.where(
+        on_diag[:, None, None],
+        jnp.where(upper[None], a.blocks, 0),
+        jnp.where(keep[:, None, None], a.blocks, 0),
+    )
+    from ..formats.bsr import _merge_blocks
+
+    return _merge_blocks(a.n, a.bsz, idxs, blocks)
+
+
+# -- block triangular solves ---------------------------------------------------
+
+
+def bsr_forsolve(L: BSR, b: jax.Array) -> jax.Array:
+    """Solve ``L x = b`` reading only the strict lower part of ``L`` with
+    implicit unit diagonal (reference ``forsolve``,
+    blocked_square_regular.fut:556-573).  Sequential over block rows (the
+    inherent critical path); per-step work is dense block math."""
+    b = jnp.asarray(b)
+    nb, bsz = L.nb, L.bsz
+    pos, rs, cs = _host_pattern(L)
+    y = b.reshape(nb, bsz)
+    for k in range(nb):
+        off = pos[(rs == k) & (cs < k)]
+        rhs = y[k]
+        if off.size:
+            c_off = cs[np.searchsorted(pos, off)]
+            contrib = jnp.einsum(
+                "bij,bj->i", L.blocks[off], y[jnp.asarray(c_off)]
+            )
+            rhs = rhs - contrib
+        hd = pos[(rs == k) & (cs == k)]
+        if hd.size:  # absent diagonal block = implicit identity
+            rhs = forsolve_dense(L.blocks[int(hd[0])], rhs)
+        y = y.at[k].set(rhs)
+    return y.reshape(L.n)
+
+
+def bsr_backsolve(U: BSR, yv: jax.Array) -> jax.Array:
+    """Solve ``U x = y`` reading the upper part incl. diagonal (reference
+    ``backsolve``, blocked_square_regular.fut:577-599).  A zero diagonal
+    element yields inf/nan (the reference aborts via
+    ERROR_backsolve_diagonal_element_is_zero, blocked:597)."""
+    yv = jnp.asarray(yv)
+    nb, bsz = U.nb, U.bsz
+    pos, rs, cs = _host_pattern(U)
+    x = yv.reshape(nb, bsz)
+    for k in range(nb - 1, -1, -1):
+        off = pos[(rs == k) & (cs > k)]
+        rhs = x[k]
+        if off.size:
+            c_off = cs[np.searchsorted(pos, off)]
+            contrib = jnp.einsum(
+                "bij,bj->i", U.blocks[off], x[jnp.asarray(c_off)]
+            )
+            rhs = rhs - contrib
+        hd = pos[(rs == k) & (cs == k)]
+        if hd.size != 1:
+            raise ValueError(f"backsolve: diagonal block ({k},{k}) missing")
+        rhs = backsolve_dense(U.blocks[int(hd[0])], rhs)
+        x = x.at[k].set(rhs)
+    return x.reshape(U.n)
+
+
+def bsr_ols(a: BSR, b: jax.Array) -> jax.Array:
+    """Direct solve of ``A x = b`` via pivoted block-sparse LU (reference
+    ``ols``, blocked_square_regular.fut:601-603)."""
+    LU, p = bsr_lup(a)
+    return bsr_backsolve(LU, bsr_forsolve(LU, jnp.asarray(b)[p]))
