@@ -1,0 +1,176 @@
+"""Fast CSR SpMV/SpMM paths for TPU.
+
+The reference's ``smvm`` engine is ``expand_outer_reduce`` — a flat gather +
+segmented reduction (compressed.fut:134-146).  Segmented reductions lower to
+scatter-adds, which serialize on TPU; the TPU-native formulation used here
+eliminates scatter entirely:
+
+* **ELL-ification on the fly**: each row's entries are viewed as a dense
+  ``(rows, L)`` window of the CSR arrays (``L`` = static row capacity), so
+  the whole SpMV is gather -> multiply -> row-reduce, all dense ops that XLA
+  tiles onto the VPU with the operand vector resident in VMEM.
+* **Row binning** (``SpmvPlan``): rows are bucketed by length into power-of-2
+  capacity bins (one ELL sweep per bin), so a few long rows don't inflate the
+  padding of the million short ones.  The plan is computed once per sparsity
+  pattern (eager, host-side) and the apply path is fully jit-compatible with
+  static shapes.
+
+Both paths return bit-identical results to :func:`csr_smvm` up to float
+summation order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.csr import CSR
+from .segmented import INDEX_DTYPE
+
+__all__ = [
+    "csr_smvm_ell",
+    "csr_spmm_ell",
+    "row_capacity",
+    "SpmvPlan",
+    "build_spmv_plan",
+    "csr_smvm_fast",
+    "csr_spmm_fast",
+]
+
+
+def row_capacity(a: CSR) -> int:
+    """Max stored entries in any row (eager host sync): the static ELL width."""
+    indptr = np.asarray(a.indptr)
+    if indptr.shape[0] <= 1:
+        return 0
+    return int(np.max(indptr[1:] - indptr[:-1]))
+
+
+def _ell_windows(a: CSR, L: int, rows_sel=None):
+    """(idx, val) dense (rows, L) windows of the CSR arrays; masked tails."""
+    starts = a.indptr[:-1] if rows_sel is None else a.indptr[rows_sel]
+    ends = a.indptr[1:] if rows_sel is None else a.indptr[rows_sel + 1]
+    lens = (ends - starts).astype(INDEX_DTYPE)
+    offs = jnp.arange(L, dtype=INDEX_DTYPE)
+    pos = starts[:, None].astype(INDEX_DTYPE) + offs[None, :]
+    mask = offs[None, :] < lens[:, None]
+    pos = jnp.minimum(pos, max(a.nse - 1, 0))
+    idx = jnp.where(mask, a.indices[pos], 0)
+    val = jnp.where(mask, a.data[pos], 0)
+    return idx, val
+
+
+def csr_smvm_ell(a: CSR, v: jax.Array, L: int) -> jax.Array:
+    """SpMV via on-the-fly ELL windows: no scatter, jit-compatible.
+
+    ``L`` must be a static bound >= the longest row (see
+    :func:`row_capacity`)."""
+    n, m = a.shape
+    v = jnp.asarray(v)
+    if a.nse == 0 or m == 0 or L == 0:
+        return jnp.zeros((n,), jnp.result_type(a.dtype, v.dtype))
+    idx, val = _ell_windows(a, L)
+    return jnp.sum(val * v[idx], axis=1)
+
+
+def csr_spmm_ell(a: CSR, b: jax.Array, L: int) -> jax.Array:
+    """SpMM (CSR x dense (m, k)) via ELL windows: gather rows of ``b`` and
+    contract the window axis."""
+    n, m = a.shape
+    b = jnp.asarray(b)
+    k = b.shape[1]
+    if a.nse == 0 or m == 0 or k == 0 or L == 0:
+        return jnp.zeros((n, k), jnp.result_type(a.dtype, b.dtype))
+    idx, val = _ell_windows(a, L)
+    gathered = b[idx]  # (n, L, k)
+    return jnp.einsum("nl,nlk->nk", val, gathered)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["perm"],
+    meta_fields=["bin_sizes", "bin_caps", "n"],
+)
+@dataclasses.dataclass(frozen=True)
+class SpmvPlan:
+    """Row-binning plan: ``perm`` orders rows by length bin; bin ``i`` covers
+    ``bin_sizes[i]`` rows with static ELL capacity ``bin_caps[i]``."""
+
+    perm: jax.Array
+    bin_sizes: tuple[int, ...]
+    bin_caps: tuple[int, ...]
+    n: int
+
+
+def build_spmv_plan(a: CSR) -> SpmvPlan:
+    """Bucket rows into power-of-2 length bins (eager, once per pattern)."""
+    indptr = np.asarray(a.indptr)
+    n = a.shape[0]
+    lens = indptr[1:] - indptr[:-1]
+    caps = np.zeros(n, np.int64)
+    nz = lens > 0
+    caps[nz] = 2 ** np.ceil(np.log2(lens[nz])).astype(np.int64)
+    order = np.argsort(caps, kind="stable")
+    sorted_caps = caps[order]
+    uniq, counts = np.unique(sorted_caps, return_counts=True)
+    keep = uniq > 0
+    # rows with zero entries contribute nothing; skip their bin entirely
+    skip = int(counts[~keep].sum())
+    return SpmvPlan(
+        perm=jnp.asarray(order[skip:], INDEX_DTYPE),
+        bin_sizes=tuple(int(c) for c in counts[keep]),
+        bin_caps=tuple(int(u) for u in uniq[keep]),
+        n=n,
+    )
+
+
+def _apply_plan(a: CSR, operand, plan: SpmvPlan, kernel):
+    out_pieces = []
+    start = 0
+    for size, cap in zip(plan.bin_sizes, plan.bin_caps):
+        rows_sel = jax.lax.slice_in_dim(plan.perm, start, start + size)
+        idx, val = _ell_windows(a, cap, rows_sel=rows_sel)
+        out_pieces.append(kernel(idx, val, operand))
+        start += size
+    return jnp.concatenate(out_pieces) if out_pieces else None
+
+
+def csr_smvm_fast(a: CSR, v: jax.Array, plan: SpmvPlan | None = None) -> jax.Array:
+    """Row-binned SpMV.  With a precomputed ``plan`` this is jit-compatible
+    (pass the plan as a static/captured value); without one it is eager."""
+    n, m = a.shape
+    v = jnp.asarray(v)
+    out_dtype = jnp.result_type(a.dtype, v.dtype)
+    if plan is None:
+        plan = build_spmv_plan(a)
+    if not plan.bin_sizes or a.nse == 0 or m == 0:
+        return jnp.zeros((n,), out_dtype)
+
+    def kernel(idx, val, v):
+        return jnp.sum(val * v[idx], axis=1)
+
+    vals = _apply_plan(a, v, plan, kernel)
+    out = jnp.zeros((n,), out_dtype)
+    return out.at[plan.perm].set(vals)
+
+
+def csr_spmm_fast(a: CSR, b: jax.Array, plan: SpmvPlan | None = None) -> jax.Array:
+    """Row-binned SpMM (CSR x dense (m, k))."""
+    n, m = a.shape
+    b = jnp.asarray(b)
+    out_dtype = jnp.result_type(a.dtype, b.dtype)
+    if plan is None:
+        plan = build_spmv_plan(a)
+    if not plan.bin_sizes or a.nse == 0 or m == 0 or b.shape[1] == 0:
+        return jnp.zeros((n, b.shape[1]), out_dtype)
+
+    def kernel(idx, val, b):
+        return jnp.einsum("nl,nlk->nk", val, b[idx])
+
+    vals = _apply_plan(a, b, plan, kernel)
+    out = jnp.zeros((n, b.shape[1]), out_dtype)
+    return out.at[plan.perm].set(vals)

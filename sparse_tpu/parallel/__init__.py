@@ -1,0 +1,9 @@
+from .pcsr import (  # noqa: F401
+    PCSR,
+    pcsr_from_csr,
+    pcsr_spmm,
+    pcsr_spmv,
+    pcsr_todense,
+    make_1d_mesh,
+)
+from .cg import cg_solve, power_iteration_step  # noqa: F401

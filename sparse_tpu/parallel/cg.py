@@ -1,0 +1,63 @@
+"""Distributed iterative solvers on partitioned sparse matrices.
+
+The framework's "training step" analogue: one step of conjugate gradient (or
+power iteration) over a row-partitioned CSR, with the matrix and all vectors
+sharded over the mesh and every reduction a compiled XLA collective.  This is
+the end-to-end multi-chip pipeline the driver dry-runs (``__graft_entry__``)
+and the weak-scaling benchmark exercises.
+
+No reference counterpart (the reference is single-device, SURVEY.md §2.3);
+semantics are standard CG on SPD systems, validated against dense NumPy
+solves in tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from .pcsr import PCSR, pcsr_spmv
+
+__all__ = ["cg_solve", "power_iteration_step"]
+
+
+def _padded_len(a: PCSR) -> int:
+    return a.rows_per_shard * a.n_shards
+
+
+def cg_step(a: PCSR, mesh: Mesh, state):
+    """One CG iteration; all vectors padded row-sharded, dots are global
+    psums compiled by XLA from the sharded reductions."""
+    x, r, p, rs = state
+    ap = pcsr_spmv(a, p, mesh)
+    denom = jnp.vdot(p, ap)
+    alpha = rs / jnp.where(denom == 0, 1, denom)
+    x = x + alpha * p
+    r = r - alpha * ap
+    rs_new = jnp.vdot(r, r)
+    beta = rs_new / jnp.where(rs == 0, 1, rs)
+    p = r + beta * p
+    return x, r, p, rs_new
+
+
+def cg_solve(a: PCSR, b: jax.Array, mesh: Mesh, *, iters: int = 50):
+    """Solve ``A x = b`` (A square SPD, row-partitioned) by ``iters`` CG
+    steps.  ``b`` must already be padded & sharded (see ``shard_vector``).
+    Returns the padded row-sharded solution."""
+    x0 = jnp.zeros_like(b)
+    state = (x0, b, b, jnp.vdot(b, b))
+    step = partial(cg_step, a, mesh)
+    state = jax.lax.fori_loop(0, iters, lambda _, s: step(s), state)
+    return state[0]
+
+
+def power_iteration_step(a: PCSR, v: jax.Array, mesh: Mesh):
+    """One normalized power-iteration step: ``v <- A v / ||A v||``; returns
+    (v_next, rayleigh_quotient_estimate)."""
+    av = pcsr_spmv(a, v, mesh)
+    norm = jnp.sqrt(jnp.vdot(av, av))
+    lam = jnp.vdot(v, av)
+    return av / jnp.where(norm == 0, 1, norm), lam

@@ -1,0 +1,121 @@
+"""Multi-chip layer on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8): row-partitioned SpMV/SpMM vs the
+single-device oracle, and distributed CG vs a dense NumPy solve.
+
+The reference has no distributed tests to mirror (nothing distributed
+exists, SURVEY.md §4); oracle style follows the house rules."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_tpu import csr_from_dense, csr_smvm, spmm
+from sparse_tpu.parallel import (
+    cg_solve,
+    make_1d_mesh,
+    pcsr_from_csr,
+    pcsr_spmm,
+    pcsr_spmv,
+    pcsr_todense,
+    power_iteration_step,
+)
+from sparse_tpu.parallel.pcsr import shard_vector
+
+
+def random_csr(n, m, density, seed, spd=False):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, m)) * (rng.random((n, m)) < density)
+    if spd:
+        x = x @ x.T + n * np.eye(n)
+    return csr_from_dense(jnp.asarray(x)), np.asarray(x) if not spd else (
+        np.asarray(x)
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "expected 8 virtual CPU devices"
+    return make_1d_mesh(8)
+
+
+@pytest.mark.parametrize("n,m,density", [(64, 64, 0.2), (100, 80, 0.1), (17, 33, 0.5)])
+def test_pcsr_spmv_matches_local(mesh, n, m, density):
+    a, xa = random_csr(n, m, density, seed=n)
+    pa = pcsr_from_csr(a, mesh)
+    np.testing.assert_allclose(np.asarray(pcsr_todense(pa)), xa, rtol=1e-12)
+    v = jnp.asarray(np.random.default_rng(1).standard_normal(m))
+    got = pcsr_spmv(pa, shard_vector(v, pa, mesh), mesh)[:n]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(csr_smvm(a, v)), rtol=1e-10, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("k", [1, 8, 32])
+def test_pcsr_spmm_matches_local(mesh, k):
+    n, m = 48, 56
+    a, _ = random_csr(n, m, 0.15, seed=7)
+    pa = pcsr_from_csr(a, mesh)
+    b = jnp.asarray(np.random.default_rng(2).standard_normal((m, k)))
+    got = pcsr_spmm(pa, shard_vector(b, pa, mesh), mesh)[:n]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(spmm(a, b)), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_spmv_under_jit_with_mesh(mesh):
+    n = 40
+    a, xa = random_csr(n, n, 0.3, seed=3)
+    pa = pcsr_from_csr(a, mesh)
+    v = shard_vector(jnp.asarray(np.ones(n)), pa, mesh)
+    f = jax.jit(lambda pa, v: pcsr_spmv(pa, v, mesh))
+    np.testing.assert_allclose(
+        np.asarray(f(pa, v))[:n], xa @ np.ones(n), rtol=1e-10
+    )
+
+
+def test_cg_solves_spd(mesh):
+    rng = np.random.default_rng(11)
+    n = 64
+    x = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.2)
+    spd = x @ x.T + n * np.eye(n)
+    a = csr_from_dense(jnp.asarray(spd))
+    pa = pcsr_from_csr(a, mesh)
+    x_true = rng.standard_normal(n)
+    b = spd @ x_true
+    bv = shard_vector(jnp.asarray(b), pa, mesh)
+    sol = jax.jit(lambda pa, bv: cg_solve(pa, bv, mesh, iters=2 * n))(pa, bv)
+    np.testing.assert_allclose(np.asarray(sol)[:n], x_true, rtol=1e-6, atol=1e-6)
+
+
+def test_power_iteration(mesh):
+    rng = np.random.default_rng(5)
+    n = 32
+    x = rng.standard_normal((n, n))
+    spd = x @ x.T
+    a = csr_from_dense(jnp.asarray(spd))
+    pa = pcsr_from_csr(a, mesh)
+    v0 = shard_vector(jnp.asarray(np.ones(n) / np.sqrt(n)), pa, mesh)
+
+    @jax.jit
+    def run(pa, v):
+        def body(_, carry):
+            v, _ = carry
+            return power_iteration_step(pa, v, mesh)
+
+        return jax.lax.fori_loop(0, 200, body, (v, jnp.zeros((), v.dtype)))
+
+    _, lam = run(pa, v0)
+    expect = np.max(np.linalg.eigvalsh(spd))
+    np.testing.assert_allclose(float(lam), expect, rtol=1e-6)
+
+
+def test_uneven_rows_padding(mesh):
+    # 10 rows over 8 shards: padded slabs must not corrupt results
+    n, m = 10, 12
+    a, xa = random_csr(n, m, 0.6, seed=9)
+    pa = pcsr_from_csr(a, mesh)
+    v = jnp.asarray(np.random.default_rng(4).standard_normal(m))
+    got = pcsr_spmv(pa, shard_vector(v, pa, mesh), mesh)
+    np.testing.assert_allclose(np.asarray(got)[:n], xa @ np.asarray(v), rtol=1e-10)
+    assert np.all(np.asarray(got)[n:] == 0)
