@@ -1,0 +1,78 @@
+"""Observability: per-matrix structure stats and roofline accounting.
+
+The reference's only introspection is ``nnz`` (SURVEY.md §5.5); our build adds
+structured per-op stats (nnz, row-length distribution, imbalance) and
+achieved-vs-roofline bandwidth reporting, since the performance target is %
+of the memory-bound roofline (BASELINE.md)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..formats.csr import CSR
+
+__all__ = ["matrix_stats", "spmv_bytes", "roofline_report"]
+
+
+@dataclasses.dataclass(frozen=True)
+class MatrixStats:
+    shape: tuple[int, int]
+    nse: int
+    nnz: int
+    row_min: int
+    row_max: int
+    row_mean: float
+    row_imbalance: float  # max / mean row length (1.0 = perfectly balanced)
+
+    def __str__(self) -> str:
+        return (
+            f"{self.shape[0]}x{self.shape[1]}: nnz={self.nnz} (capacity {self.nse}), "
+            f"rows [{self.row_min}, {self.row_max}] mean {self.row_mean:.1f}, "
+            f"imbalance {self.row_imbalance:.2f}x"
+        )
+
+
+def matrix_stats(a: CSR) -> MatrixStats:
+    """Host-side structural summary of a CSR matrix."""
+    indptr = np.asarray(a.indptr)
+    lens = indptr[1:] - indptr[:-1]
+    data = np.asarray(a.data)
+    valid = int(indptr[-1])
+    mean = float(lens.mean()) if lens.size else 0.0
+    return MatrixStats(
+        shape=a.shape,
+        nse=a.nse,
+        nnz=int(np.count_nonzero(data[:valid])),
+        row_min=int(lens.min()) if lens.size else 0,
+        row_max=int(lens.max()) if lens.size else 0,
+        row_mean=mean,
+        row_imbalance=float(lens.max() / mean) if mean > 0 else 1.0,
+    )
+
+
+def spmv_bytes(a: CSR, k: int = 1, value_bytes: int | None = None) -> int:
+    """Minimum HBM traffic of one SpMV/SpMM: values + column indices + one
+    gathered operand row per stored entry + row pointers + output."""
+    vb = value_bytes or np.dtype(np.asarray(a.data).dtype).itemsize
+    nse = int(np.asarray(a.indptr)[-1])
+    n, m = a.shape
+    return nse * (vb + 4 + vb * k) + (n + 1) * 4 + n * k * vb
+
+
+def roofline_report(a: CSR, seconds: float, k: int = 1,
+                    hbm_gbps: float | None = None) -> dict:
+    """Achieved effective bandwidth (and roofline fraction when the chip's
+    HBM bandwidth is supplied) for a measured SpMV/SpMM time."""
+    b = spmv_bytes(a, k)
+    gbps = b / seconds / 1e9
+    nse = int(np.asarray(a.indptr)[-1])
+    out = {
+        "bytes": b,
+        "effective_gbps": gbps,
+        "nnz_per_s": nse * k / seconds,
+    }
+    if hbm_gbps:
+        out["roofline_fraction"] = gbps / hbm_gbps
+    return out

@@ -1,0 +1,93 @@
+"""MatrixMarket I/O (SciPy oracle) and stats/roofline utilities."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.io
+import scipy.sparse
+
+from sparse_tpu import coo_todense, csr_from_dense, csr_todense
+from sparse_tpu.io import mm_read, mm_read_coo, mm_write
+from sparse_tpu.utils import matrix_stats, roofline_report, spmv_bytes
+
+
+def test_roundtrip_real(tmp_path):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((7, 5)) * (rng.random((7, 5)) < 0.4)
+    a = csr_from_dense(jnp.asarray(x))
+    p = tmp_path / "a.mtx"
+    mm_write(p, a, comment="roundtrip fixture")
+    back = mm_read(p)
+    np.testing.assert_allclose(np.asarray(csr_todense(back)), x, rtol=1e-15)
+    # scipy agrees with what we wrote
+    s = scipy.io.mmread(p)
+    np.testing.assert_allclose(s.toarray(), x, rtol=1e-15)
+
+
+@pytest.mark.parametrize("symm", ["general", "symmetric", "skew-symmetric"])
+def test_read_matches_scipy_coordinate(tmp_path, symm):
+    rng = np.random.default_rng(1)
+    n = 6
+    x = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.5)
+    if symm == "symmetric":
+        x = np.tril(x) + np.tril(x, -1).T
+    elif symm == "skew-symmetric":
+        x = np.tril(x, -1) - np.tril(x, -1).T
+    p = tmp_path / "m.mtx"
+    scipy.io.mmwrite(p, scipy.sparse.coo_matrix(x), symmetry=symm)
+    got = mm_read_coo(p)
+    np.testing.assert_allclose(np.asarray(coo_todense(got)), x, rtol=1e-15)
+
+
+def test_read_matches_scipy_array(tmp_path):
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((4, 3))
+    p = tmp_path / "d.mtx"
+    scipy.io.mmwrite(p, x)
+    got = mm_read_coo(p)
+    np.testing.assert_allclose(np.asarray(coo_todense(got)), x, rtol=1e-15)
+
+
+def test_read_pattern(tmp_path):
+    p = tmp_path / "p.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate pattern general\n3 3 2\n1 2\n3 1\n"
+    )
+    got = mm_read_coo(p)
+    want = np.zeros((3, 3))
+    want[0, 1] = want[2, 0] = 1.0
+    np.testing.assert_array_equal(np.asarray(coo_todense(got)), want)
+
+
+def test_integer_field(tmp_path):
+    p = tmp_path / "i.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate integer general\n2 2 2\n1 1 5\n2 2 -3\n"
+    )
+    got = mm_read_coo(p)
+    np.testing.assert_array_equal(
+        np.asarray(coo_todense(got)), [[5, 0], [0, -3]]
+    )
+
+
+def test_bad_header(tmp_path):
+    p = tmp_path / "bad.mtx"
+    p.write_text("not a matrix\n1 1 0\n")
+    with pytest.raises(ValueError):
+        mm_read_coo(p)
+
+
+def test_stats_and_roofline():
+    x = np.zeros((4, 8))
+    x[0, :3] = [1.0, 2.0, 3.0]
+    x[2, 1] = 4.0
+    a = csr_from_dense(jnp.asarray(x))
+    s = matrix_stats(a)
+    assert s.nnz == 4 and s.row_max == 3 and s.row_min == 0
+    assert s.row_imbalance == 3.0
+    b = spmv_bytes(a)
+    assert b > 0
+    rep = roofline_report(a, seconds=1e-6, hbm_gbps=819.0)
+    assert rep["effective_gbps"] == b / 1e-6 / 1e9
+    assert 0 < rep["roofline_fraction"] < 1e6
+    assert "nnz=4" in str(s)
