@@ -1,0 +1,136 @@
+"""BELL: blocked-ELL — the TPU speed-of-light storage for block-sparse SpMV.
+
+Where BSR keeps a compressed list of blocks (``formats/bsr.py``), BELL lays
+blocks out *pre-windowed* per block row: ``blocks[r, l]`` is the l-th stored
+block of block row ``r`` (padded with zero blocks), with its block-column id
+in ``cols[r, l]``.  SpMV/SpMM then touch the matrix purely by streaming —
+no gather on the matrix side at all; the only gather is the operand chunk
+``v[cols]`` at ``bsz``-granularity, which amortizes TPU per-gather cost.
+Measured on v5e this removes the materialized window intermediate that keeps
+the BSR fast path at ~1/3 of streaming bandwidth.
+
+No reference counterpart (the reference's only block format is BSR,
+blocked_square_regular.fut:179-183); semantics of ``bell_smvm`` match
+``bsr_smvm`` exactly.  The padding cost is bounded by the block-row length
+skew; convert from BSR once per pattern (``bell_from_bsr``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.segmented import INDEX_DTYPE
+from .bsr import BSR
+
+__all__ = ["BELL", "bell_from_bsr", "bell_smvm", "bell_spmm", "bell_todense"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["cols", "blocks"],
+    meta_fields=["n", "bsz"],
+)
+@dataclasses.dataclass(frozen=True)
+class BELL:
+    """Blocked-ELL matrix: ``blocks``: [nb, Lb, bsz, bsz]; ``cols``: [nb, Lb]
+    block-column ids (0 for padding slots, whose blocks are all-zero)."""
+
+    cols: jax.Array
+    blocks: jax.Array
+    n: int
+    bsz: int
+
+    @property
+    def nb(self) -> int:
+        return self.n // self.bsz
+
+    @property
+    def Lb(self) -> int:
+        return self.cols.shape[1]
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    def __matmul__(self, other):
+        other = jnp.asarray(other)
+        if other.ndim == 1:
+            return bell_smvm(self, other)
+        if other.ndim == 2:
+            return bell_spmm(self, other)
+        return NotImplemented
+
+    def todense(self) -> jax.Array:
+        return bell_todense(self)
+
+
+def bell_from_bsr(a: BSR, Lb: int | None = None) -> BELL:
+    """Lay a BSR out as blocked-ELL (eager, once per sparsity pattern)."""
+    nb, bsz = a.nb, a.bsz
+    idxs = np.asarray(a.indices)
+    blocks = np.asarray(a.blocks)
+    valid = idxs < nb * nb
+    rs = (idxs[valid] // nb).astype(np.int64)
+    cs = (idxs[valid] % nb).astype(np.int64)
+    vals = blocks[valid]
+    lens = np.bincount(rs, minlength=nb)
+    if Lb is None:
+        Lb = int(lens.max()) if lens.size else 0
+    out_blocks = np.zeros((nb, Lb, bsz, bsz), blocks.dtype)
+    out_cols = np.zeros((nb, Lb), np.int32)
+    # entries are sorted by (r, c); slot position = rank within the row
+    starts = np.zeros(nb + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    slot = np.arange(rs.size) - starts[rs]
+    keep = slot < Lb
+    out_blocks[rs[keep], slot[keep]] = vals[keep]
+    out_cols[rs[keep], slot[keep]] = cs[keep]
+    return BELL(cols=jnp.asarray(out_cols), blocks=jnp.asarray(out_blocks),
+                n=a.n, bsz=bsz)
+
+
+def bell_smvm(a: BELL, v: jax.Array) -> jax.Array:
+    """Scatter-free, matrix-gather-free SpMV: stream blocks, gather operand
+    chunks, contract on the VPU."""
+    v = jnp.asarray(v)
+    if v.shape != (a.n,):
+        raise ValueError(f"bell_smvm: vector shape {v.shape} != ({a.n},)")
+    out_dtype = jnp.result_type(a.dtype, v.dtype)
+    if a.n == 0 or a.Lb == 0:
+        return jnp.zeros((a.n,), out_dtype)
+    vb = v.reshape(a.nb, a.bsz)[a.cols.reshape(-1)].reshape(
+        a.nb, a.Lb, a.bsz
+    )
+    out = jnp.einsum("rlij,rlj->ri", a.blocks, vb)
+    return out.reshape(a.n).astype(out_dtype)
+
+
+def bell_spmm(a: BELL, b: jax.Array) -> jax.Array:
+    """Blocked-ELL SpMM: batched (bsz x bsz) @ (bsz x k) on the MXU."""
+    b = jnp.asarray(b)
+    if b.ndim != 2 or b.shape[0] != a.n:
+        raise ValueError(f"bell_spmm: operand shape {b.shape} != ({a.n}, k)")
+    k = b.shape[1]
+    out_dtype = jnp.result_type(a.dtype, b.dtype)
+    if a.n == 0 or a.Lb == 0 or k == 0:
+        return jnp.zeros((a.n, k), out_dtype)
+    panels = b.reshape(a.nb, a.bsz, k)[a.cols.reshape(-1)].reshape(
+        a.nb, a.Lb, a.bsz, k
+    )
+    out = jnp.einsum("rlij,rljk->rik", a.blocks, panels)
+    return out.reshape(a.n, k).astype(out_dtype)
+
+
+def bell_todense(a: BELL) -> jax.Array:
+    nb, bsz, Lb = a.nb, a.bsz, a.Lb
+    out = jnp.zeros((nb, nb, bsz, bsz), a.dtype)
+    r = jnp.repeat(jnp.arange(nb, dtype=INDEX_DTYPE), Lb)
+    out = out.at[r, a.cols.reshape(-1)].add(
+        a.blocks.reshape(nb * Lb, bsz, bsz)
+    )
+    return out.transpose(0, 2, 1, 3).reshape(a.n, a.n)

@@ -141,6 +141,15 @@ def _check_divides(n: int, bsz: int) -> None:
     # mirrors ERROR_block_size_must_divide_n (blocked_square_regular.fut:175,196)
     if n % bsz != 0:
         raise ValueError(f"block size {bsz} must divide n={n}")
+    nb = n // bsz
+    # flattened block coordinates r*nb+c live in int32 (TPU-native index
+    # width); guard the representable range explicitly
+    if nb > 46340:
+        raise ValueError(
+            f"BSR supports at most 46340 blocks per dimension in int32 "
+            f"(got {nb} = {n}/{bsz}); use a larger block size or shard the "
+            f"matrix (sparse_tpu.parallel)"
+        )
 
 
 def _rc(a: BSR) -> tuple[jax.Array, jax.Array, jax.Array]:

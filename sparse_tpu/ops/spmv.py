@@ -74,7 +74,9 @@ def csr_smvm_ell(a: CSR, v: jax.Array, L: int) -> jax.Array:
     if a.nse == 0 or m == 0 or L == 0:
         return jnp.zeros((n,), jnp.result_type(a.dtype, v.dtype))
     idx, val = _ell_windows(a, L)
-    return jnp.sum(val * v[idx], axis=1)
+    # flat 1-D gather then reshape: the layout XLA's TPU gather handles best
+    g = v[idx.reshape(-1)].reshape(idx.shape)
+    return jnp.sum(val * g, axis=1)
 
 
 def csr_spmm_ell(a: CSR, b: jax.Array, L: int) -> jax.Array:
@@ -86,7 +88,9 @@ def csr_spmm_ell(a: CSR, b: jax.Array, L: int) -> jax.Array:
     if a.nse == 0 or m == 0 or k == 0 or L == 0:
         return jnp.zeros((n, k), jnp.result_type(a.dtype, b.dtype))
     idx, val = _ell_windows(a, L)
-    gathered = b[idx]  # (n, L, k)
+    # flat row-gather: each gathered element is a contiguous k-wide row of b,
+    # which amortizes TPU per-gather cost (measured ~100 GB/s eff at k=128)
+    gathered = b[idx.reshape(-1)].reshape(*idx.shape, k)
     return jnp.einsum("nl,nlk->nk", val, gathered)
 
 
@@ -151,7 +155,8 @@ def csr_smvm_fast(a: CSR, v: jax.Array, plan: SpmvPlan | None = None) -> jax.Arr
         return jnp.zeros((n,), out_dtype)
 
     def kernel(idx, val, v):
-        return jnp.sum(val * v[idx], axis=1)
+        g = v[idx.reshape(-1)].reshape(idx.shape)
+        return jnp.sum(val * g, axis=1)
 
     vals = _apply_plan(a, v, plan, kernel)
     out = jnp.zeros((n,), out_dtype)
@@ -169,7 +174,8 @@ def csr_spmm_fast(a: CSR, b: jax.Array, plan: SpmvPlan | None = None) -> jax.Arr
         return jnp.zeros((n, b.shape[1]), out_dtype)
 
     def kernel(idx, val, b):
-        return jnp.einsum("nl,nlk->nk", val, b[idx])
+        g = b[idx.reshape(-1)].reshape(*idx.shape, b.shape[1])
+        return jnp.einsum("nl,nlk->nk", val, g)
 
     vals = _apply_plan(a, b, plan, kernel)
     out = jnp.zeros((n, b.shape[1]), out_dtype)
