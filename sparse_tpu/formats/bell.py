@@ -27,7 +27,14 @@ import numpy as np
 from ..ops.segmented import INDEX_DTYPE
 from .bsr import BSR
 
-__all__ = ["BELL", "bell_from_bsr", "bell_smvm", "bell_spmm", "bell_todense"]
+__all__ = [
+    "BELL",
+    "bell_from_bsr",
+    "bell_from_csr",
+    "bell_smvm",
+    "bell_spmm",
+    "bell_todense",
+]
 
 
 @partial(
@@ -92,6 +99,15 @@ def bell_from_bsr(a: BSR, Lb: int | None = None) -> BELL:
     out_cols[rs[keep], slot[keep]] = cs[keep]
     return BELL(cols=jnp.asarray(out_cols), blocks=jnp.asarray(out_blocks),
                 n=a.n, bsz=bsz)
+
+
+def bell_from_csr(a, bsz: int, Lb: int | None = None) -> BELL:
+    """Re-block a CSR into blocked-ELL (eager).  Fills explicit zeros inside
+    touched blocks; worthwhile whenever the pattern has block locality."""
+    from ..formats.bsr import bsr_compact, bsr_from_coo
+    from ..formats.csr import csr_to_coo
+
+    return bell_from_bsr(bsr_compact(bsr_from_coo(csr_to_coo(a), bsz)), Lb=Lb)
 
 
 def bell_smvm(a: BELL, v: jax.Array) -> jax.Array:

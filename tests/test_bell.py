@@ -56,3 +56,19 @@ def test_bell_empty():
     e = bell_from_bsr(a)
     assert e.Lb == 0
     assert np.all(np.asarray(bell_smvm(e, jnp.ones(8))) == 0)
+
+
+def test_bell_from_csr_reblock():
+    from sparse_tpu import csr_from_dense
+    from sparse_tpu.formats.bell import bell_from_csr
+
+    rng = np.random.default_rng(11)
+    n = 24
+    x = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.2)
+    a = csr_from_dense(jnp.asarray(x))
+    e = bell_from_csr(a, bsz=4)
+    np.testing.assert_allclose(np.asarray(bell_todense(e)), x, rtol=1e-12)
+    v = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(
+        np.asarray(bell_smvm(e, v)), x @ np.asarray(v), rtol=1e-10, atol=1e-12
+    )
