@@ -1,0 +1,189 @@
+"""Extended benchmark suite (one JSON line per metric; the driver's headline
+lives in /bench.py).
+
+Run: python benchmarks/suite.py [--quick]
+
+Covers BASELINE.md configs beyond the headline: CSR SpMV (unstructured),
+CSR SpMM tall-skinny, blocked-ELL SpMV/SpMM, SpGEMM, and distributed SpMV
+weak-scaling on the virtual CPU mesh.  All timings dependency-chained inside
+jit (see docs/performance.md for why).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+K_CHAIN = 5
+
+
+def timed_chain(step, v0, iters=3):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(v):
+        def body(_, v):
+            w = step(v)
+            return w / (jnp.max(jnp.abs(w)) + 1.0)
+
+        return jnp.sum(jax.lax.fori_loop(0, K_CHAIN, body, v))
+
+    float(run(v0))
+    best = np.inf
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(run(v0))
+        best = min(best, (time.perf_counter() - t0) / K_CHAIN)
+    return best
+
+
+def emit(metric, value, unit, vs=None):
+    rec = {"metric": metric, "value": round(value, 3), "unit": unit}
+    if vs is not None:
+        rec["vs_baseline"] = round(vs, 3)
+    print(json.dumps(rec), flush=True)
+
+
+def bench_csr(quick):
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from sparse_tpu import CSR
+    from sparse_tpu.ops.spmv import build_spmv_plan, csr_smvm_fast, csr_spmm_fast
+    from sparse_tpu.ops.segmented import INDEX_DTYPE
+
+    rng = np.random.default_rng(0)
+    n = m = 100_000 if quick else 200_000
+    per_row = 32
+    nnz = n * per_row
+    cols = rng.integers(0, m, nnz, dtype=np.int32).reshape(n, per_row)
+    cols.sort(axis=1)
+    vals = (rng.standard_normal(nnz) * 0.01).astype(np.float32)
+    indptr = np.arange(0, nnz + 1, per_row, dtype=np.int32)
+    a = CSR(
+        data=jnp.asarray(vals),
+        indices=jnp.asarray(cols.reshape(-1)),
+        indptr=jnp.asarray(indptr),
+        shape=(n, m),
+    )
+    plan = build_spmv_plan(a)
+    v0 = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    t = timed_chain(lambda v: csr_smvm_fast(a, v, plan), v0)
+    s = sp.csr_matrix((vals, cols.reshape(-1), indptr), shape=(n, m))
+    x = np.asarray(v0)
+    s @ x
+    t0 = time.perf_counter()
+    for _ in range(K_CHAIN):
+        w = s @ x
+        x = w / (np.abs(w).max() + 1.0)
+    t_ref = (time.perf_counter() - t0) / K_CHAIN
+    emit("csr_spmv_unstructured_nnzps", nnz / t / 1e9, "Gnnz/s", t_ref / t)
+
+    k = 64
+    b0 = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32) * 0.01)
+    t = timed_chain(lambda b: csr_spmm_fast(a, b, plan), b0)
+    eff = (nnz * (4 + 4 + 4 * k) + n * k * 4) / t / 1e9
+    emit(f"csr_spmm_k{k}_eff_bw", eff, "GB/s")
+
+
+def bench_bell(quick):
+    import jax.numpy as jnp
+
+    from sparse_tpu.formats.bell import bell_from_bsr, bell_smvm, bell_spmm
+    from sparse_tpu.formats.bsr import BSR
+    from sparse_tpu.ops.segmented import INDEX_DTYPE
+
+    rng = np.random.default_rng(1)
+    bsz, half = 32, 2
+    nb = 7_800 if quick else 15_625
+    n = nb * bsz
+    rows, cols = [], []
+    for off in range(-half, half + 1):
+        r = np.arange(max(0, -off), min(nb, nb - off), dtype=np.int64)
+        rows.append(r)
+        cols.append(r + off)
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    blocks = rng.standard_normal((rows.size, bsz, bsz)).astype(np.float32) * 0.01
+    a = bell_from_bsr(
+        BSR(
+            indices=jnp.asarray(rows * nb + cols, INDEX_DTYPE),
+            blocks=jnp.asarray(blocks),
+            n=n,
+            bsz=bsz,
+        )
+    )
+    nnz = rows.size * bsz * bsz
+    v0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    t = timed_chain(lambda v: bell_smvm(a, v), v0)
+    eff = (rows.size * (bsz * bsz * 4 + 4 + bsz * 4) + n * 4) / t / 1e9
+    emit("bell_spmv_block_banded_eff_bw", eff, "GB/s")
+
+    k = 64
+    b0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.01)
+    t = timed_chain(lambda b: bell_spmm(a, b), b0)
+    emit(f"bell_spmm_k{k}_gflops", 2 * nnz * k / t / 1e9, "GFLOP/s")
+
+
+def bench_spgemm(quick):
+    import jax.numpy as jnp
+
+    from sparse_tpu import csr_from_dense, spgemm
+
+    rng = np.random.default_rng(2)
+    n = 1_000 if quick else 2_000
+    x = (rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.01)).astype(
+        np.float32
+    )
+    a = csr_from_dense(jnp.asarray(x))
+    t0 = time.perf_counter()
+    c = spgemm(a, a)
+    c.data.block_until_ready()
+    t = time.perf_counter() - t0
+    flops = 2.0 * float((x != 0).sum(0) @ (x != 0).sum(1))
+    emit("spgemm_aa_gflops", flops / t / 1e9, "GFLOP/s")
+
+
+def bench_distributed():
+    import jax
+
+    if len(jax.devices()) < 2:
+        return
+    import jax.numpy as jnp
+
+    from sparse_tpu import csr_from_dense
+    from sparse_tpu.parallel import make_1d_mesh, pcsr_from_csr, pcsr_spmv
+    from sparse_tpu.parallel.pcsr import shard_vector
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    x = (rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.02)).astype(
+        np.float32
+    )
+    a = csr_from_dense(jnp.asarray(x))
+    mesh = make_1d_mesh()
+    pa = pcsr_from_csr(a, mesh)
+    v0 = shard_vector(jnp.asarray(rng.standard_normal(n).astype(np.float32)), pa, mesh)
+    t = timed_chain(lambda v: pcsr_spmv(pa, v, mesh), v0)
+    emit(
+        f"pcsr_spmv_{len(jax.devices())}dev_nnzps",
+        float((x != 0).sum()) / t / 1e9,
+        "Gnnz/s",
+    )
+
+
+if __name__ == "__main__":
+    quick = "--quick" in sys.argv
+    bench_csr(quick)
+    bench_bell(quick)
+    bench_spgemm(quick)
+    bench_distributed()
