@@ -22,6 +22,7 @@ import numpy as np
 
 from ..formats.coo import COO, coo_make
 from ..formats.csr import CSR, csr_from_coo, csr_to_coo
+from . import fastmm
 
 __all__ = ["mm_read_coo", "mm_read", "mm_write"]
 
@@ -51,20 +52,28 @@ def mm_read_coo(path, dtype=None) -> COO:
     out_dtype = dtype or base_dtype
     if fmt == "coordinate":
         n, m, nnz = int(dims[0]), int(dims[1]), int(dims[2])
-        raw = np.loadtxt(_io.BytesIO(body), ndmin=2) if nnz else np.zeros((0, 3))
-        rows = raw[:, 0].astype(np.int64) - 1
-        cols = raw[:, 1].astype(np.int64) - 1
-        if field == "pattern":
-            vals = np.ones(rows.shape[0], base_dtype)
+        native = fastmm.parse_coordinate(body, nnz, field == "pattern")
+        if native is not None:
+            rows, cols, vals = native
+            vals = vals.astype(base_dtype)
         else:
-            vals = raw[:, 2].astype(base_dtype)
+            raw = (
+                np.loadtxt(_io.BytesIO(body), ndmin=2) if nnz else np.zeros((0, 3))
+            )
+            rows = raw[:, 0].astype(np.int64) - 1
+            cols = raw[:, 1].astype(np.int64) - 1
+            if field == "pattern":
+                vals = np.ones(rows.shape[0], base_dtype)
+            else:
+                vals = raw[:, 2].astype(base_dtype)
         if symm in ("symmetric", "skew-symmetric"):
             off = rows != cols
             sign = -1 if symm == "skew-symmetric" else 1
-            rows = np.concatenate([rows, cols[off]])
-            cols_new = np.concatenate([cols, raw[:, 0].astype(np.int64)[off] - 1])
+            rows, cols = (
+                np.concatenate([rows, cols[off]]),
+                np.concatenate([cols, rows[off]]),
+            )
             vals = np.concatenate([vals, sign * vals[off]])
-            cols = cols_new
         elif symm != "general":
             raise ValueError(f"unsupported MatrixMarket symmetry: {symm}")
     elif fmt == "array":

@@ -91,3 +91,22 @@ def test_stats_and_roofline():
     assert rep["effective_gbps"] == b / 1e-6 / 1e9
     assert 0 < rep["roofline_fraction"] < 1e6
     assert "nnz=4" in str(s)
+
+
+def test_native_parser_used_and_correct(tmp_path):
+    # the native C++ parser (io/fastmm) must parse what the writer emits and
+    # agree with the NumPy fallback path
+    from sparse_tpu.io import fastmm
+
+    body = b"% comment inside body\n1 2 -3.5\n3 1 2e-3\n2 2 7\n"
+    out = fastmm.parse_coordinate(body, 3, False)
+    if out is None:
+        pytest.skip("no native toolchain")
+    rows, cols, vals = out
+    np.testing.assert_array_equal(rows, [0, 2, 1])
+    np.testing.assert_array_equal(cols, [1, 0, 1])
+    np.testing.assert_allclose(vals, [-3.5, 2e-3, 7.0])
+    with pytest.raises(ValueError):
+        fastmm.parse_coordinate(b"1 junk\n", 1, False)
+    v = fastmm.parse_array(b"1.5\n2.5 3.5\n", 3)
+    np.testing.assert_allclose(v, [1.5, 2.5, 3.5])
