@@ -349,6 +349,19 @@ def csr_sub(a: CSR, b: CSR) -> CSR:
     return csr_add(a, csr_scale(jnp.asarray(-1, b.dtype), b))
 
 
+def csr_diagonal(a: CSR) -> jax.Array:
+    """Extract the main diagonal as a dense vector (stored zeros included;
+    absent entries are 0).  Basis for Jacobi preconditioning."""
+    n, m = a.shape
+    k = min(n, m)
+    if a.nse == 0 or k == 0:
+        return jnp.zeros((k,), a.dtype)
+    rows = row_ids_from_indptr(a.indptr, a.nse)
+    on_diag = (rows < n) & (a.indices == rows)
+    contrib = jnp.where(on_diag, a.data, jnp.zeros((), a.dtype))
+    return segment_sum(contrib, rows, n, indices_are_sorted=True)[:k]
+
+
 def csr_nnz(a: CSR) -> jax.Array:
     """Number of stored values that are non-zero (compressed.fut:162-164)."""
     n, _ = a.shape

@@ -21,7 +21,7 @@ from jax.sharding import Mesh
 
 from .pcsr import PCSR, pcsr_spmv
 
-__all__ = ["cg_solve", "power_iteration_step"]
+__all__ = ["cg_solve", "pcg_solve", "power_iteration_step"]
 
 
 def _padded_len(a: PCSR) -> int:
@@ -50,6 +50,32 @@ def cg_solve(a: PCSR, b: jax.Array, mesh: Mesh, *, iters: int = 50):
     x0 = jnp.zeros_like(b)
     state = (x0, b, b, jnp.vdot(b, b))
     step = partial(cg_step, a, mesh)
+    state = jax.lax.fori_loop(0, iters, lambda _, s: step(s), state)
+    return state[0]
+
+
+def pcg_solve(a: PCSR, b: jax.Array, inv_diag: jax.Array, mesh: Mesh,
+              *, iters: int = 50):
+    """Jacobi-preconditioned CG: ``inv_diag`` is the elementwise inverse of
+    ``diag(A)`` padded & sharded like ``b`` (build from ``csr_diagonal`` +
+    ``shard_vector``; pad slots must be 0 so padding stays inert)."""
+    x0 = jnp.zeros_like(b)
+    z0 = inv_diag * b
+    state = (x0, b, z0, jnp.vdot(b, z0))
+
+    def step(state):
+        x, r, p, rz = state
+        ap = pcsr_spmv(a, p, mesh)
+        denom = jnp.vdot(p, ap)
+        alpha = rz / jnp.where(denom == 0, 1, denom)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = inv_diag * r
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1, rz)
+        p = z + beta * p
+        return x, r, p, rz_new
+
     state = jax.lax.fori_loop(0, iters, lambda _, s: step(s), state)
     return state[0]
 

@@ -119,3 +119,42 @@ def test_uneven_rows_padding(mesh):
     got = pcsr_spmv(pa, shard_vector(v, pa, mesh), mesh)
     np.testing.assert_allclose(np.asarray(got)[:n], xa @ np.asarray(v), rtol=1e-10)
     assert np.all(np.asarray(got)[n:] == 0)
+
+
+def test_pcg_matches_cg_and_converges_faster(mesh):
+    from sparse_tpu import csr_diagonal
+    from sparse_tpu.parallel import pcg_solve
+
+    rng = np.random.default_rng(21)
+    n = 64
+    # ill-conditioned diagonal: Jacobi helps a lot
+    d = 10.0 ** rng.uniform(0, 3, n)
+    x = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.1)
+    spd = x @ x.T + np.diag(d) + n * np.eye(n)
+    a = csr_from_dense(jnp.asarray(spd))
+    pa = pcsr_from_csr(a, mesh)
+    x_true = rng.standard_normal(n)
+    b = spd @ x_true
+    bv = shard_vector(jnp.asarray(b), pa, mesh)
+    inv_d = shard_vector(1.0 / csr_diagonal(a), pa, mesh)
+    it = 40
+    sol_p = jax.jit(lambda pa, bv, m: pcg_solve(pa, bv, m, mesh, iters=it))(
+        pa, bv, inv_d
+    )
+    sol_c = jax.jit(lambda pa, bv: cg_solve(pa, bv, mesh, iters=it))(pa, bv)
+    err_p = np.linalg.norm(np.asarray(sol_p)[:n] - x_true)
+    err_c = np.linalg.norm(np.asarray(sol_c)[:n] - x_true)
+    assert err_p < err_c  # preconditioning wins on this spectrum
+    sol_full = jax.jit(lambda pa, bv, m: pcg_solve(pa, bv, m, mesh, iters=3 * n))(
+        pa, bv, inv_d
+    )
+    np.testing.assert_allclose(np.asarray(sol_full)[:n], x_true, rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_csr_diagonal():
+    from sparse_tpu import csr_diagonal
+
+    x = np.array([[5.0, 1, 0], [0, 0, 2], [3, 0, 7], [1, 1, 1]])
+    a = csr_from_dense(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(csr_diagonal(a)), [5.0, 0, 7])
