@@ -100,72 +100,121 @@ def _diag_pos(pos, rs, cs, i: int) -> int:
     return int(hits[0])
 
 
+def _lu_plan(a: BSR):
+    """Padded per-step index plans for the jitted numeric phase.
+
+    All per-step block lists (column panel, row panel, Schur pairs,
+    left-of-diagonal) are padded to their max width with a *scratch slot*
+    at index ``nbz`` holding a zero block: gathers from it read zeros,
+    updates to it are discarded by construction, so padded lanes are
+    algebraically inert inside the compiled step."""
+    nb = a.nb
+    pos, rs, cs = _host_pattern(a)
+    scratch = a.nbz
+    flat = {(int(r), int(c)): int(h) for h, r, c in zip(pos, rs, cs)}
+    diag = np.empty(nb, np.int32)
+    l21, l12, lpairs, lleft = [], [], [], []
+    for i in range(nb):
+        diag[i] = _diag_pos(pos, rs, cs, i)
+        h21 = pos[(rs > i) & (cs == i)]
+        h12 = pos[(rs == i) & (cs > i)]
+        r21 = rs[np.searchsorted(pos, h21)]
+        c12 = cs[np.searchsorted(pos, h12)]
+        pairs = [
+            (int(h1), int(h2), flat[(int(r), int(c))])
+            for h1, r in zip(h21, r21)
+            for h2, c in zip(h12, c12)
+            if (int(r), int(c)) in flat
+        ]
+        l21.append(h21)
+        l12.append(h12)
+        lpairs.append(pairs)
+        lleft.append(pos[(rs == i) & (cs < i)])
+
+    def pad2(lists, fill):
+        w = max((len(x) for x in lists), default=0)
+        out = np.full((nb, max(w, 1)), fill, np.int32)
+        for i, x in enumerate(lists):
+            out[i, : len(x)] = x
+        return out
+
+    p21 = pad2(l21, scratch)
+    p12 = pad2(l12, scratch)
+    pleft = pad2(lleft, scratch)
+    ws = max((len(x) for x in lpairs), default=0)
+    s1 = np.full((nb, max(ws, 1)), scratch, np.int32)
+    s2 = s1.copy()
+    st = s1.copy()
+    for i, pairs in enumerate(lpairs):
+        for j, (h1, h2, ht) in enumerate(pairs):
+            s1[i, j], s2[i, j], st[i, j] = h1, h2, ht
+    return (
+        jnp.asarray(diag),
+        jnp.asarray(p21),
+        jnp.asarray(p12),
+        jnp.asarray(s1),
+        jnp.asarray(s2),
+        jnp.asarray(st),
+        jnp.asarray(pleft),
+    )
+
+
 def _lu_numeric(a: BSR, pivot: bool) -> tuple[BSR, jax.Array]:
     """Right-looking block LU over a fixed pattern (no fill); numeric phase.
 
     Reference ``lup_nofill`` (blocked_square_regular.fut:414-464) and
-    ``lu_nofill`` (:502-546).  Host loop over block columns with
-    NumPy-precomputed index plans; device math is batched per step.
+    ``lu_nofill`` (:502-546).  The sparsity pattern is static, so the whole
+    factorization compiles to ONE ``lax.fori_loop`` over block columns: per
+    step, a dense ``lup_dense`` of the diagonal block, vmapped triangular
+    solves of the padded column/row panels (MXU-batched), and one batched
+    Schur einsum on the padded pair plan — fully on-device, no host sync.
     """
     nb, bsz = a.nb, a.bsz
-    pos, rs, cs = _host_pattern(a)
-    blocks = a.blocks
-    perms = []
-    for i in range(nb):
-        hd = _diag_pos(pos, rs, cs, i)
+    diag, p21, p12, s1, s2, st, pleft = _lu_plan(a)
+    # scratch slot at index nbz: zero block, absorbs padded-lane updates
+    blocks0 = jnp.concatenate(
+        [a.blocks, jnp.zeros((1, bsz, bsz), a.blocks.dtype)]
+    )
+
+    def step(i, carry):
+        blocks, perms = carry
+        hd = diag[i]
         if pivot:
             lu_d, p = lup_dense(blocks[hd])
         else:
             lu_d = lu_dense(blocks[hd])
             p = perm_id(bsz)
         blocks = blocks.at[hd].set(lu_d)
-        h21 = pos[(rs > i) & (cs == i)]  # column panel below the diagonal
-        h12 = pos[(rs == i) & (cs > i)]  # row panel right of the diagonal
-        if h21.size:
-            # X21 solves X @ U = A per block (reference backsolve' per row,
-            # blocked:433-435)
-            x21 = jax.vmap(lambda B: rowsolve_upper(lu_d, B))(blocks[h21])
-            blocks = blocks.at[h21].set(x21)
-        if h12.size:
-            # X12 = L^-1 P A12 (blocked:436-439)
-            x12 = jax.vmap(lambda B: forsolve_dense(lu_d, B[p]))(blocks[h12])
-            blocks = blocks.at[h12].set(x12)
-        if h21.size and h12.size:
-            # Schur update D -= X21 @ X12 on *existing* targets only
-            # ("ignore fillins", blocked:443-456)
-            r21 = rs[np.searchsorted(pos, h21)]
-            c12 = cs[np.searchsorted(pos, h12)]
-            tgt_r = np.repeat(r21, h12.size)
-            tgt_c = np.tile(c12, h21.size)
-            flat = {(int(r), int(c)): int(h) for h, r, c in zip(pos, rs, cs)}
-            pairs = [
-                (h1, h2, flat[(int(r), int(c))])
-                for h1, r in zip(h21, r21)
-                for h2, c in zip(h12, c12)
-                if (int(r), int(c)) in flat
-            ]
-            del tgt_r, tgt_c
-            if pairs:
-                i1 = jnp.asarray([q[0] for q in pairs], INDEX_DTYPE)
-                i2 = jnp.asarray([q[1] for q in pairs], INDEX_DTYPE)
-                it = jnp.asarray([q[2] for q in pairs], INDEX_DTYPE)
-                prods = jnp.einsum(
-                    "fij,fjk->fik", blocks[i1], blocks[i2],
-                    preferred_element_type=blocks.dtype,
-                )
-                blocks = blocks.at[it].add(-prods)
+        # X21 solves X @ U = A per block (reference backsolve' per row,
+        # blocked:433-435); padded lanes solve the zero block -> zero
+        h21 = p21[i]
+        x21 = jax.vmap(lambda B: rowsolve_upper(lu_d, B))(blocks[h21])
+        blocks = blocks.at[h21].set(x21)
+        # X12 = L^-1 P A12 (blocked:436-439)
+        h12 = p12[i]
+        x12 = jax.vmap(lambda B: forsolve_dense(lu_d, B[p]))(blocks[h12])
+        blocks = blocks.at[h12].set(x12)
+        # Schur update D -= X21 @ X12 on existing targets only
+        # ("ignore fillins", blocked:443-456)
+        prods = jnp.einsum(
+            "fij,fjk->fik", blocks[s1[i]], blocks[s2[i]],
+            preferred_element_type=blocks.dtype,
+        )
+        blocks = blocks.at[st[i]].add(-prods)
         if pivot:
-            # apply this step's pivot to the already-final L blocks left of
-            # the diagonal in block row i (blocked:457-459)
-            hl = pos[(rs == i) & (cs < i)]
-            if hl.size:
-                blocks = blocks.at[hl].set(blocks[hl][:, p, :])
-            perms.append(jnp.asarray(i * bsz, INDEX_DTYPE) + p)
-    lu_mat = BSR(indices=a.indices, blocks=blocks, n=a.n, bsz=a.bsz)
-    p_full = (
-        jnp.concatenate(perms) if perms else perm_id(a.n)
-    )
-    return lu_mat, p_full
+            # permute already-final L blocks left of the diagonal
+            # (blocked:457-459)
+            hl = pleft[i]
+            blocks = blocks.at[hl].set(blocks[hl][:, p, :])
+            perms = perms.at[i].set(i * bsz + p)
+        return blocks, perms
+
+    perms0 = jnp.broadcast_to(
+        jnp.arange(bsz, dtype=INDEX_DTYPE)[None, :], (nb, bsz)
+    ) + (jnp.arange(nb, dtype=INDEX_DTYPE) * bsz)[:, None]
+    blocks, perms = jax.lax.fori_loop(0, nb, step, (blocks0, perms0))
+    lu_mat = BSR(indices=a.indices, blocks=blocks[:-1], n=a.n, bsz=a.bsz)
+    return lu_mat, perms.reshape(-1)
 
 
 def bsr_lup_nofill(a: BSR) -> tuple[BSR, jax.Array]:
