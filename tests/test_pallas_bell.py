@@ -42,3 +42,17 @@ def test_pallas_spmm_padding_inert():
     np.testing.assert_allclose(
         np.asarray(got), xa @ np.asarray(b), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("n,bsz,k", [(32, 8, 128), (64, 16, 64)])
+def test_pallas_spmm_fused_matches(n, bsz, k):
+    from sparse_tpu.ops.pallas_bell import bell_spmm_pallas_fused
+
+    a, xa = random_bell(n, bsz, 0.4, seed=n * 2 + k)
+    b = jnp.asarray(
+        np.random.default_rng(k + 1).standard_normal((n, k)).astype(np.float32)
+    )
+    got = bell_spmm_pallas_fused(a, b, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), xa @ np.asarray(b), rtol=2e-5, atol=2e-5
+    )
