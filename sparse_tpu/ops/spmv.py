@@ -132,18 +132,43 @@ def build_spmv_plan(a: CSR) -> SpmvPlan:
     )
 
 
-def _apply_plan(a: CSR, operand, plan: SpmvPlan, kernel):
+def _apply_plan(a: CSR, operand, plan: SpmvPlan, kernel,
+                row_chunk: int | None = None):
+    """Run ``kernel(idx, val, operand)`` over every bin's ELL windows.
+
+    With ``row_chunk`` set, each bin is processed in row chunks via
+    ``lax.map`` so the materialized gather intermediate stays bounded at
+    ``row_chunk * cap * width`` — required when ``rows * L * k`` would
+    otherwise exceed memory (e.g. SpMM with large k)."""
     out_pieces = []
     start = 0
     for size, cap in zip(plan.bin_sizes, plan.bin_caps):
         rows_sel = jax.lax.slice_in_dim(plan.perm, start, start + size)
-        idx, val = _ell_windows(a, cap, rows_sel=rows_sel)
-        out_pieces.append(kernel(idx, val, operand))
+        if row_chunk is None or size <= row_chunk:
+            idx, val = _ell_windows(a, cap, rows_sel=rows_sel)
+            out_pieces.append(kernel(idx, val, operand))
+        else:
+            g = -(-size // row_chunk)
+            pad = g * row_chunk - size
+            # pad with repeats of the last row; sliced off below
+            rows_pad = jnp.concatenate(
+                [rows_sel, jnp.broadcast_to(rows_sel[-1:], (pad,))]
+            ).reshape(g, row_chunk)
+
+            def one(rs):
+                idx, val = _ell_windows(a, cap, rows_sel=rs)
+                return kernel(idx, val, operand)
+
+            chunked = jax.lax.map(one, rows_pad)
+            out_pieces.append(
+                chunked.reshape((g * row_chunk,) + chunked.shape[2:])[:size]
+            )
         start += size
     return jnp.concatenate(out_pieces) if out_pieces else None
 
 
-def csr_smvm_fast(a: CSR, v: jax.Array, plan: SpmvPlan | None = None) -> jax.Array:
+def csr_smvm_fast(a: CSR, v: jax.Array, plan: SpmvPlan | None = None,
+                  row_chunk: int | None = None) -> jax.Array:
     """Row-binned SpMV.  With a precomputed ``plan`` this is jit-compatible
     (pass the plan as a static/captured value); without one it is eager."""
     n, m = a.shape
@@ -158,13 +183,15 @@ def csr_smvm_fast(a: CSR, v: jax.Array, plan: SpmvPlan | None = None) -> jax.Arr
         g = v[idx.reshape(-1)].reshape(idx.shape)
         return jnp.sum(val * g, axis=1)
 
-    vals = _apply_plan(a, v, plan, kernel)
+    vals = _apply_plan(a, v, plan, kernel, row_chunk)
     out = jnp.zeros((n,), out_dtype)
     return out.at[plan.perm].set(vals)
 
 
-def csr_spmm_fast(a: CSR, b: jax.Array, plan: SpmvPlan | None = None) -> jax.Array:
-    """Row-binned SpMM (CSR x dense (m, k))."""
+def csr_spmm_fast(a: CSR, b: jax.Array, plan: SpmvPlan | None = None,
+                  row_chunk: int | None = None) -> jax.Array:
+    """Row-binned SpMM (CSR x dense (m, k)).  Set ``row_chunk`` to bound
+    the gathered intermediate at ``row_chunk * L * k`` elements."""
     n, m = a.shape
     b = jnp.asarray(b)
     out_dtype = jnp.result_type(a.dtype, b.dtype)
@@ -177,6 +204,6 @@ def csr_spmm_fast(a: CSR, b: jax.Array, plan: SpmvPlan | None = None) -> jax.Arr
         g = b[idx.reshape(-1)].reshape(*idx.shape, b.shape[1])
         return jnp.einsum("nl,nlk->nk", val, g)
 
-    vals = _apply_plan(a, b, plan, kernel)
+    vals = _apply_plan(a, b, plan, kernel, row_chunk)
     out = jnp.zeros((n, b.shape[1]), out_dtype)
     return out.at[plan.perm].set(vals)

@@ -79,3 +79,22 @@ def test_empty_and_degenerate():
     v = jnp.zeros(10)
     assert csr_smvm_fast(a, v).shape == (10,)
     assert np.all(np.asarray(csr_smvm_fast(a, v)) == 0)
+
+
+def test_row_chunked_matches_unchunked():
+    a, xa = random_csr(101, 64, 0.2, seed=13)
+    v = jnp.asarray(np.random.default_rng(13).standard_normal(64))
+    b = jnp.asarray(np.random.default_rng(14).standard_normal((64, 8)))
+    plan = build_spmv_plan(a)
+    np.testing.assert_allclose(
+        np.asarray(csr_smvm_fast(a, v, plan, row_chunk=16)),
+        np.asarray(csr_smvm_fast(a, v, plan)),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(csr_spmm_fast(a, b, plan, row_chunk=7)),
+        xa @ np.asarray(b),
+        rtol=1e-10,
+    )
+    f = jax.jit(lambda a, b: csr_spmm_fast(a, b, plan, row_chunk=10))
+    np.testing.assert_allclose(np.asarray(f(a, b)), xa @ np.asarray(b), rtol=1e-10)
