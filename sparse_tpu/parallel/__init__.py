@@ -8,3 +8,10 @@ from .pcsr import (  # noqa: F401
 )
 from .cg import cg_solve, pcg_solve, power_iteration_step  # noqa: F401
 from .halo import HaloPCSR, halo_partition, halo_spmv  # noqa: F401
+from .pbell import (  # noqa: F401
+    PBELL,
+    pbell_from_bell,
+    pbell_shard_vector,
+    pbell_smvm,
+    pbell_spmm,
+)

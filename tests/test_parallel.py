@@ -158,3 +158,39 @@ def test_csr_diagonal():
     x = np.array([[5.0, 1, 0], [0, 0, 2], [3, 0, 7], [1, 1, 1]])
     a = csr_from_dense(jnp.asarray(x))
     np.testing.assert_array_equal(np.asarray(csr_diagonal(a)), [5.0, 0, 7])
+
+
+def test_pbell_matches_local(mesh):
+    from sparse_tpu import bsr_from_dense
+    from sparse_tpu.formats.bell import bell_from_bsr, bell_smvm, bell_spmm
+    from sparse_tpu.parallel.pbell import (
+        pbell_from_bell,
+        pbell_shard_vector,
+        pbell_smvm,
+        pbell_spmm,
+    )
+
+    rng = np.random.default_rng(31)
+    n, bsz = 72, 4  # 18 block rows over 8 shards: uneven slabs
+    nb = n // bsz
+    mask = np.kron(rng.random((nb, nb)) < 0.3, np.ones((bsz, bsz)))
+    x = rng.standard_normal((n, n)) * mask
+    e = bell_from_bsr(bsr_from_dense(jnp.asarray(x), bsz))
+    pe = pbell_from_bell(e, mesh)
+    v = jnp.asarray(rng.standard_normal(n))
+    vs = pbell_shard_vector(v, pe, mesh)
+    got = pbell_smvm(pe, vs, mesh)[:n]
+    np.testing.assert_allclose(np.asarray(got), x @ np.asarray(v), rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(bell_smvm(e, v)), rtol=1e-12
+    )
+    b = jnp.asarray(rng.standard_normal((n, 8)))
+    bs = pbell_shard_vector(b, pe, mesh)
+    got_m = pbell_spmm(pe, bs, mesh)[:n]
+    np.testing.assert_allclose(np.asarray(got_m), x @ np.asarray(b), rtol=1e-10,
+                               atol=1e-12)
+    f = jax.jit(lambda pe, vs: pbell_smvm(pe, vs, mesh))
+    np.testing.assert_allclose(
+        np.asarray(f(pe, vs))[:n], x @ np.asarray(v), rtol=1e-10
+    )
