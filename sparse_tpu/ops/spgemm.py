@@ -68,6 +68,43 @@ def _expansion_sizes(a: CSR, b_rows: CSR) -> jax.Array:
     return jnp.where(valid, b_row_len[safe_s], 0).astype(INDEX_DTYPE)
 
 
+def spgemm_products(a: CSR, b_data, b_indices, b_starts, b_lens, k: int,
+                    expansion_nse: int) -> COO:
+    """ESC product expansion against a *generalized* row-compressed B given
+    as (data, indices, per-row starts, per-row lengths) — rows need only be
+    internally contiguous, which lets multi-shard gathered storage with
+    per-shard padding gaps feed the same core (parallel/pspgemm.py).
+
+    Returns the raw product COO (duplicates unmerged) with capacity
+    ``expansion_nse``."""
+    n, m = a.shape
+    out_dtype = jnp.result_type(a.dtype, b_data.dtype)
+    a_rows = row_ids_from_indptr(a.indptr, a.nse)
+    valid = a_rows < n
+    safe_s = jnp.where(valid, a.indices, 0)
+    sizes = jnp.where(valid, b_lens[jnp.minimum(safe_s, max(m - 1, 0))], 0).astype(
+        INDEX_DTYPE
+    )
+    elem_ids, inner_ids = expand(sizes, expansion_nse)
+    live = elem_ids < a.nse
+    e = jnp.where(live, elem_ids, 0)
+
+    r = a_rows[e]  # target row (may be sentinel n for A padding)
+    s = a.indices[e]  # shared index
+    va = a.data[e]
+
+    nse_b = b_data.shape[0]
+    b_pos = b_starts[jnp.minimum(s, max(m - 1, 0))].astype(INDEX_DTYPE) + inner_ids
+    b_pos = jnp.minimum(b_pos, max(nse_b - 1, 0))
+    c = b_indices[b_pos]
+    vb = b_data[b_pos]
+
+    row = jnp.where(live & (r < n), r, jnp.asarray(n, INDEX_DTYPE))
+    col = jnp.where(live & (r < n), c, jnp.asarray(k, INDEX_DTYPE))
+    val = jnp.where(live & (r < n), va * vb, jnp.zeros((), out_dtype))
+    return COO(row=row, col=col, data=val.astype(out_dtype), shape=(n, k))
+
+
 def spgemm_csr_csr(a: CSR, b: CSR, expansion_nse: int) -> CSR:
     """jit-compatible ESC SpGEMM core: C = A @ B, both row-compressed.
 
@@ -85,25 +122,15 @@ def spgemm_csr_csr(a: CSR, b: CSR, expansion_nse: int) -> CSR:
 
         return csr_empty(n, k, expansion_nse, out_dtype)
 
-    sizes = _expansion_sizes(a, b)
-    elem_ids, inner_ids = expand(sizes, expansion_nse)
-    live = elem_ids < a.nse
-    e = jnp.where(live, elem_ids, 0)
-
-    a_rows = row_ids_from_indptr(a.indptr, a.nse)
-    r = a_rows[e]  # target row (may be sentinel n for A padding)
-    s = a.indices[e]  # shared index
-    va = a.data[e]
-
-    b_pos = b.indptr[s].astype(INDEX_DTYPE) + inner_ids
-    b_pos = jnp.minimum(b_pos, max(b.nse - 1, 0))
-    c = b.indices[b_pos]
-    vb = b.data[b_pos]
-
-    row = jnp.where(live & (r < n), r, jnp.asarray(n, INDEX_DTYPE))
-    col = jnp.where(live & (r < n), c, jnp.asarray(k, INDEX_DTYPE))
-    val = jnp.where(live & (r < n), va * vb, jnp.zeros((), out_dtype))
-    prods = COO(row=row, col=col, data=val.astype(out_dtype), shape=(n, k))
+    prods = spgemm_products(
+        a,
+        b.data,
+        b.indices,
+        b.indptr[:-1],
+        (b.indptr[1:] - b.indptr[:-1]).astype(INDEX_DTYPE),
+        k,
+        expansion_nse,
+    )
     return csr_from_coo(prods)
 
 

@@ -15,3 +15,4 @@ from .pbell import (  # noqa: F401
     pbell_smvm,
     pbell_spmm,
 )
+from .pspgemm import pcsr_spgemm, pcsr_transpose  # noqa: F401

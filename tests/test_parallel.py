@@ -194,3 +194,36 @@ def test_pbell_matches_local(mesh):
     np.testing.assert_allclose(
         np.asarray(f(pe, vs))[:n], x @ np.asarray(v), rtol=1e-10
     )
+
+
+def test_pcsr_spgemm_matches_local(mesh):
+    from sparse_tpu import csr_todense, spgemm
+    from sparse_tpu.parallel.pspgemm import pcsr_spgemm
+
+    rng = np.random.default_rng(41)
+    n, m, k = 40, 32, 24
+    xa = rng.standard_normal((n, m)) * (rng.random((n, m)) < 0.2)
+    xb = rng.standard_normal((m, k)) * (rng.random((m, k)) < 0.2)
+    a = csr_from_dense(jnp.asarray(xa))
+    b = csr_from_dense(jnp.asarray(xb))
+    pa = pcsr_from_csr(a, mesh)
+    pb = pcsr_from_csr(b, mesh)
+    pc = pcsr_spgemm(pa, pb, mesh)
+    got = np.asarray(pcsr_todense(pc))
+    np.testing.assert_allclose(got, xa @ xb, rtol=1e-10, atol=1e-12)
+    # agrees with the single-device product
+    np.testing.assert_allclose(
+        got, np.asarray(csr_todense(spgemm(a, b))), rtol=1e-12
+    )
+
+
+def test_pcsr_transpose(mesh):
+    from sparse_tpu.parallel.pspgemm import pcsr_transpose
+
+    rng = np.random.default_rng(42)
+    n, m = 24, 40
+    xa = rng.standard_normal((n, m)) * (rng.random((n, m)) < 0.3)
+    pa = pcsr_from_csr(csr_from_dense(jnp.asarray(xa)), mesh)
+    pt = pcsr_transpose(pa, mesh)
+    assert pt.shape == (m, n)
+    np.testing.assert_allclose(np.asarray(pcsr_todense(pt)), xa.T, rtol=1e-12)
