@@ -24,8 +24,8 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..formats.coo import COO
-from ..formats.csr import CSR, csr_from_coo, csr_to_coo, csr_transpose
-from ..ops.segmented import INDEX_DTYPE, cumsum_exclusive, segment_sum
+from ..formats.csr import CSR, csr_from_coo
+from ..ops.segmented import INDEX_DTYPE
 from ..ops.spgemm import spgemm_products
 from .pcsr import PCSR, pcsr_from_csr
 
@@ -105,11 +105,8 @@ def pcsr_spgemm(a: PCSR, b: PCSR, mesh: Mesh,
 
 def pcsr_transpose(a: PCSR, mesh: Mesh) -> PCSR:
     """A^T row-partitioned (eager repartition; see module docstring)."""
-    from .pcsr import pcsr_todense  # local gather utility
-
     n, m = a.shape
     # host-side: rebuild global CSR, transpose via COO, repartition
-    dense_free = False
     ptrs = np.asarray(a.indptr)
     idxs = np.asarray(a.indices)
     vals = np.asarray(a.data)
