@@ -300,25 +300,27 @@ def bsr_forsolve(L: BSR, b: jax.Array) -> jax.Array:
     """Solve ``L x = b`` reading only the strict lower part of ``L`` with
     implicit unit diagonal (reference ``forsolve``,
     blocked_square_regular.fut:556-573).  Sequential over block rows (the
-    inherent critical path); per-step work is dense block math."""
+    inherent critical path); per-step work is dense block math.  ``b`` may be
+    a vector (n,) or a matrix of right-hand sides (n, k)."""
     b = jnp.asarray(b)
     nb, bsz = L.nb, L.bsz
     pos, rs, cs = _host_pattern(L)
-    y = b.reshape(nb, bsz)
+    vec = b.ndim == 1
+    y = b.reshape(nb, bsz, -1)
     for k in range(nb):
         off = pos[(rs == k) & (cs < k)]
         rhs = y[k]
         if off.size:
             c_off = cs[np.searchsorted(pos, off)]
             contrib = jnp.einsum(
-                "bij,bj->i", L.blocks[off], y[jnp.asarray(c_off)]
+                "bij,bjk->ik", L.blocks[off], y[jnp.asarray(c_off)]
             )
             rhs = rhs - contrib
         hd = pos[(rs == k) & (cs == k)]
         if hd.size:  # absent diagonal block = implicit identity
             rhs = forsolve_dense(L.blocks[int(hd[0])], rhs)
         y = y.at[k].set(rhs)
-    return y.reshape(L.n)
+    return y.reshape(L.n) if vec else y.reshape(L.n, -1)
 
 
 def bsr_backsolve(U: BSR, yv: jax.Array) -> jax.Array:
@@ -329,14 +331,15 @@ def bsr_backsolve(U: BSR, yv: jax.Array) -> jax.Array:
     yv = jnp.asarray(yv)
     nb, bsz = U.nb, U.bsz
     pos, rs, cs = _host_pattern(U)
-    x = yv.reshape(nb, bsz)
+    vec = yv.ndim == 1
+    x = yv.reshape(nb, bsz, -1)
     for k in range(nb - 1, -1, -1):
         off = pos[(rs == k) & (cs > k)]
         rhs = x[k]
         if off.size:
             c_off = cs[np.searchsorted(pos, off)]
             contrib = jnp.einsum(
-                "bij,bj->i", U.blocks[off], x[jnp.asarray(c_off)]
+                "bij,bjk->ik", U.blocks[off], x[jnp.asarray(c_off)]
             )
             rhs = rhs - contrib
         hd = pos[(rs == k) & (cs == k)]
@@ -344,11 +347,13 @@ def bsr_backsolve(U: BSR, yv: jax.Array) -> jax.Array:
             raise ValueError(f"backsolve: diagonal block ({k},{k}) missing")
         rhs = backsolve_dense(U.blocks[int(hd[0])], rhs)
         x = x.at[k].set(rhs)
-    return x.reshape(U.n)
+    return x.reshape(U.n) if vec else x.reshape(U.n, -1)
 
 
 def bsr_ols(a: BSR, b: jax.Array) -> jax.Array:
     """Direct solve of ``A x = b`` via pivoted block-sparse LU (reference
-    ``ols``, blocked_square_regular.fut:601-603)."""
+    ``ols``, blocked_square_regular.fut:601-603).  ``b`` may be (n,) or a
+    multi-RHS matrix (n, k); factorize once with :func:`bsr_lup` to reuse
+    across many solves."""
     LU, p = bsr_lup(a)
     return bsr_backsolve(LU, bsr_forsolve(LU, jnp.asarray(b)[p]))

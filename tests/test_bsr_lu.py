@@ -195,3 +195,18 @@ def test_random_dense_oracle():
     b = xa @ x_true
     x = bsr_ols(a, jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-8, atol=1e-8)
+
+
+def test_multi_rhs_solve():
+    rng = np.random.default_rng(77)
+    n, bsz, k = 12, 3, 5
+    nb = n // bsz
+    mask = np.kron(
+        (rng.random((nb, nb)) < 0.5) | np.eye(nb, dtype=bool), np.ones((bsz, bsz))
+    )
+    xa = rng.standard_normal((n, n)) * mask + 4 * np.eye(n)
+    a = bsr_from_dense(jnp.asarray(xa), bsz)
+    X_true = rng.standard_normal((n, k))
+    B = xa @ X_true
+    X = bsr_ols(a, jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(X), X_true, rtol=1e-8, atol=1e-8)
