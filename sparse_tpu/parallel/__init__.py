@@ -6,7 +6,7 @@ from .pcsr import (  # noqa: F401
     pcsr_todense,
     make_1d_mesh,
 )
-from .cg import cg_solve, pcg_solve, power_iteration_step  # noqa: F401
+from .cg import bicgstab_solve, cg_solve, pcg_solve, power_iteration_step  # noqa: F401
 from .halo import HaloPCSR, halo_partition, halo_spmv  # noqa: F401
 from .pbell import (  # noqa: F401
     PBELL,

@@ -21,7 +21,7 @@ from jax.sharding import Mesh
 
 from .pcsr import PCSR, pcsr_spmv
 
-__all__ = ["cg_solve", "pcg_solve", "power_iteration_step"]
+__all__ = ["cg_solve", "pcg_solve", "bicgstab_solve", "power_iteration_step"]
 
 
 def _padded_len(a: PCSR) -> int:
@@ -75,6 +75,43 @@ def pcg_solve(a: PCSR, b: jax.Array, inv_diag: jax.Array, mesh: Mesh,
         beta = rz_new / jnp.where(rz == 0, 1, rz)
         p = z + beta * p
         return x, r, p, rz_new
+
+    state = jax.lax.fori_loop(0, iters, lambda _, s: step(s), state)
+    return state[0]
+
+
+def bicgstab_solve(a: PCSR, b: jax.Array, mesh: Mesh, *, iters: int = 50):
+    """BiCGSTAB for general (non-symmetric) square systems, row-partitioned.
+
+    Standard van-der-Vorst recurrence; two distributed SpMVs per iteration,
+    all reductions compiled XLA collectives.  ``b`` padded & sharded like
+    ``cg_solve``'s."""
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    state = (
+        x0,
+        r0,
+        r0,  # p
+        r0,  # r_hat (fixed shadow residual)
+        jnp.vdot(r0, r0),  # rho
+    )
+
+    def safe_div(num, den):
+        return num / jnp.where(den == 0, 1, den)
+
+    def step(state):
+        x, r, p, r_hat, rho = state
+        v = pcsr_spmv(a, p, mesh)
+        alpha = safe_div(rho, jnp.vdot(r_hat, v))
+        s = r - alpha * v
+        t = pcsr_spmv(a, s, mesh)
+        omega = safe_div(jnp.vdot(t, s), jnp.vdot(t, t))
+        x = x + alpha * p + omega * s
+        r = s - omega * t
+        rho_new = jnp.vdot(r_hat, r)
+        beta = safe_div(rho_new, rho) * safe_div(alpha, omega)
+        p = r + beta * (p - omega * v)
+        return x, r, p, r_hat, rho_new
 
     state = jax.lax.fori_loop(0, iters, lambda _, s: step(s), state)
     return state[0]

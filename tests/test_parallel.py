@@ -227,3 +227,23 @@ def test_pcsr_transpose(mesh):
     pt = pcsr_transpose(pa, mesh)
     assert pt.shape == (m, n)
     np.testing.assert_allclose(np.asarray(pcsr_todense(pt)), xa.T, rtol=1e-12)
+
+
+def test_bicgstab_nonsymmetric(mesh):
+    from sparse_tpu.parallel import bicgstab_solve
+
+    rng = np.random.default_rng(51)
+    n = 48
+    # non-symmetric, diagonally dominant
+    x = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.2)
+    A = x + n * np.eye(n)
+    assert not np.allclose(A, A.T)
+    a = csr_from_dense(jnp.asarray(A))
+    pa = pcsr_from_csr(a, mesh)
+    x_true = rng.standard_normal(n)
+    b = A @ x_true
+    bv = shard_vector(jnp.asarray(b), pa, mesh)
+    sol = jax.jit(lambda pa, bv: bicgstab_solve(pa, bv, mesh, iters=2 * n))(
+        pa, bv
+    )
+    np.testing.assert_allclose(np.asarray(sol)[:n], x_true, rtol=1e-6, atol=1e-6)
