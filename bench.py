@@ -1,26 +1,30 @@
-"""Headline benchmark: SpMV throughput on the default JAX backend (the real
-TPU chip under the driver; CPU elsewhere).
+"""Headline benchmark: blocked SpMM throughput on the default JAX backend
+(the real TPU chip under the driver; CPU elsewhere).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Config (BASELINE.md config 2): SpMV on a SuiteSparse-like matrix.  The
-SuiteSparse suite itself is not downloadable here (no egress), so the matrix
-is a synthetic FEM-style block-banded operator (bcsstk-shaped: dense 32x32
-blocks on a 5-block band), 500k rows, ~80M nnz — the structure class the
-suite's headline matrices (bcsstk*, ct20stif, pwtk) share.  The measured op
-is the blocked-ELL SpMV (`formats/bell.py`), the framework's
-speed-of-light path for block-structured matrices.
+Config (BASELINE.md config 3: sparse x dense tall-skinny, k=32..256): SpMM
+with k=128 on a SuiteSparse-like matrix.  The SuiteSparse suite is not
+downloadable here (no egress), so the matrix is a synthetic FEM-style
+block-banded operator (bcsstk-shaped: dense 32x32 blocks on a 5-block band),
+500k rows, ~80M nnz.  The measured op is the fused Pallas blocked-ELL SpMM
+(`ops/pallas_bell.py`) — scalar-prefetch DMA gathering straight into the
+MXU, no materialized gather intermediate (the pure-XLA formulation needs a
+41 GB temporary at this size and cannot run at all).
 
 ``value`` is effective memory throughput (GB/s): minimum bytes = blocks +
-block column ids + gathered operand chunks + output.  ``vs_baseline`` is the
-speedup over SciPy's native BSR matvec on this host (BASELINE.md names the
-SciPy re-execution of the reference's semantics as the baseline; the Futhark
-reference publishes no numbers and is not runnable here).
+block column ids + one gathered (bsz x k) operand panel per stored block +
+output.  ``vs_baseline`` is the speedup over SciPy's native BSR sparse x
+dense product on this host (BASELINE.md names the SciPy re-execution of the
+reference's semantics as the baseline; the Futhark reference publishes no
+numbers and is not runnable here).
 
-Timing is dependency-chained inside one jit (iterate v <- normalize(A v)) so
+Timing is dependency-chained inside one jit (iterate B <- normalize(A B)) so
 nothing can be hoisted or overlapped away; the remote-TPU tunnel's async
-dispatch makes naive per-call timing report impossible numbers.
+dispatch makes naive per-call timing report impossible numbers.  All device
+operands are passed as jit arguments — closure constants get embedded in the
+compile payload and overflow the tunnel's upload limit.
 """
 
 from __future__ import annotations
@@ -33,7 +37,8 @@ import numpy as np
 BSZ = 32
 HALF_BAND = 2  # blocks each side of the diagonal
 NB = 15_625  # block rows -> n = 500k
-K_CHAIN = 10
+K = 128  # dense operand width
+K_CHAIN = 5
 
 
 def build_block_band(nb=NB, bsz=BSZ, half_band=HALF_BAND, seed=0):
@@ -51,34 +56,31 @@ def build_block_band(nb=NB, bsz=BSZ, half_band=HALF_BAND, seed=0):
     order = np.lexsort((cols, rows))
     rows, cols = rows[order], cols[order]
     blocks = rng.standard_normal((rows.size, bsz, bsz)).astype(np.float32) * 0.01
-    v = rng.standard_normal(nb * bsz).astype(np.float32)
-    return rows, cols, blocks, v
+    b = rng.standard_normal((nb * bsz, K)).astype(np.float32) * 0.01
+    return rows, cols, blocks, b
 
 
-def scipy_time(rows, cols, blocks, v, iters=5):
+def scipy_time(rows, cols, blocks, b, iters=2):
     import scipy.sparse as sp
 
     nb = NB
     indptr = np.zeros(nb + 1, np.int64)
     np.cumsum(np.bincount(rows, minlength=nb), out=indptr[1:])
     a = sp.bsr_matrix((blocks, cols, indptr), shape=(nb * BSZ, nb * BSZ))
-    x = v.copy()
-    a @ x  # warm
+    a @ b  # warm
     best = np.inf
     for _ in range(iters):
         t0 = time.perf_counter()
-        for _ in range(K_CHAIN):
-            w = a @ x
-            x = w / (np.abs(w).max() + 1.0)
-        best = min(best, (time.perf_counter() - t0) / K_CHAIN)
+        a @ b
+        best = min(best, time.perf_counter() - t0)
     return best
 
 
-def tpu_time(rows, cols, blocks, v, iters=3):
+def tpu_time(rows, cols, blocks, b, iters=3):
     import jax
     import jax.numpy as jnp
 
-    from sparse_tpu.formats.bell import bell_from_bsr, bell_smvm
+    from sparse_tpu.formats.bell import bell_from_bsr, bell_spmm
     from sparse_tpu.formats.bsr import BSR
     from sparse_tpu.ops.segmented import INDEX_DTYPE
 
@@ -91,38 +93,38 @@ def tpu_time(rows, cols, blocks, v, iters=3):
             bsz=BSZ,
         )
     )
-    vj = jnp.asarray(v)
+    bj = jnp.asarray(b)
 
     @jax.jit
-    def chain(a, v):
-        def body(_, v):
-            w = bell_smvm(a, v)
+    def chain(a, b):
+        def body(_, b):
+            w = bell_spmm(a, b)
             return w / (jnp.max(jnp.abs(w)) + 1.0)
 
-        return jnp.sum(jax.lax.fori_loop(0, K_CHAIN, body, v))
+        return jnp.sum(jax.lax.fori_loop(0, K_CHAIN, body, b))
 
-    float(chain(a, vj))  # compile + execute
+    float(chain(a, bj))  # compile + execute
     best = np.inf
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(chain(a, vj))
-        best = min(best, (time.perf_counter() - t0) / K_CHAIN)
-    return best
+        float(chain(a, bj))
+        best = min(best, time.perf_counter() - t0)
+    return best / K_CHAIN
 
 
 def main():
-    rows, cols, blocks, v = build_block_band()
-    t_ref = scipy_time(rows, cols, blocks, v)
-    t_tpu = tpu_time(rows, cols, blocks, v)
+    rows, cols, blocks, b = build_block_band()
+    t_ref = scipy_time(rows, cols, blocks, b)
+    t_tpu = tpu_time(rows, cols, blocks, b)
     nbz = rows.size
     n = NB * BSZ
-    # blocks + block col ids + gathered operand chunks + output vector
-    bytes_moved = nbz * (BSZ * BSZ * 4 + 4 + BSZ * 4) + n * 4
+    # blocks + block col ids + one gathered operand panel per block + output
+    bytes_moved = nbz * (BSZ * BSZ * 4 + 4 + BSZ * K * 4) + n * K * 4
     gbps = bytes_moved / t_tpu / 1e9
     print(
         json.dumps(
             {
-                "metric": "bsr_spmv_f32_block_banded_500k",
+                "metric": "bell_spmm_k128_f32_block_banded_500k",
                 "value": round(gbps, 2),
                 "unit": "GB/s",
                 "vs_baseline": round(t_ref / t_tpu, 2),

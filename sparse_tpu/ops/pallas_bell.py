@@ -64,7 +64,7 @@ def bell_spmm_pallas(a: BELL, b: jax.Array, *, interpret: bool = False) -> jax.A
                 (1, 1, bsz, bsz), lambda r, l, cols: (r, l, 0, 0)
             ),
             pl.BlockSpec(
-                (1, bsz, k), lambda r, l, cols: (cols[r, l], 0, 0)
+                (1, bsz, k), lambda r, l, cols: (cols[r * Lb + l], 0, 0)
             ),
         ],
         out_specs=pl.BlockSpec((1, bsz, k), lambda r, l, cols: (r, 0, 0)),
@@ -74,7 +74,7 @@ def bell_spmm_pallas(a: BELL, b: jax.Array, *, interpret: bool = False) -> jax.A
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, bsz, k), out_dtype),
         interpret=interpret,
-    )(a.cols, blocks, b3)
+    )(a.cols.reshape(-1), blocks, b3)
     return out.reshape(a.n, k)
 
 
@@ -120,7 +120,12 @@ def bell_spmm_pallas_fused(a: BELL, b: jax.Array, *,
         o_ref[...] = acc[None]
 
     def panel_spec(l):
-        return pl.BlockSpec((1, bsz, k), lambda r, cols, l=l: (cols[r, l], 0, 0))
+        # NOTE: the prefetch array is flattened 1-D — 2-D SMEM operands are
+        # lane-padded to 128 columns and overflow the ~1MB SMEM budget at
+        # large nb (measured: (15625, 5) i32 allocates 8MB padded)
+        return pl.BlockSpec(
+            (1, bsz, k), lambda r, cols, l=l: (cols[r * Lb + l], 0, 0)
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -139,7 +144,7 @@ def bell_spmm_pallas_fused(a: BELL, b: jax.Array, *,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a.cols, lhs, *([b3] * Lb))
+    )(a.cols.reshape(-1), lhs, *([b3] * Lb))
     return out.reshape(a.n, k)
 
 
@@ -173,20 +178,24 @@ def bell_smvm_pallas(a: BELL, v: jax.Array, *, row_tile: int = 4,
         blocks = jnp.concatenate(
             [blocks, jnp.zeros((nb_pad - nb, Lb, bsz, bsz), blocks.dtype)]
         )
-    v2 = v.reshape(nb, bsz).astype(out_dtype)
+    # unit middle axis so the chunk block's trailing dims equal the array's
+    # (Mosaic requires trailing block dims divisible by (8, 128) OR equal to
+    # the full array dims)
+    v2 = v.reshape(nb, 1, bsz).astype(out_dtype)
 
     def kernel(cols_ref, blk_ref, *rest):
         chunk_refs, o_ref = rest[:-1], rest[-1]
         for i in range(rt):
             acc = jnp.zeros((bsz,), o_ref.dtype)
             for l in range(Lb):
-                c = chunk_refs[i * Lb + l][0]  # (bsz,)
+                c = chunk_refs[i * Lb + l][0, 0]  # (bsz,)
                 acc = acc + jnp.sum(blk_ref[i, l] * c[None, :], axis=1)
             o_ref[i, :] = acc
 
     def chunk_spec(i, l):
         return pl.BlockSpec(
-            (1, bsz), lambda r, cols, i=i, l=l: (cols[r * rt + i, l], 0)
+            (1, 1, bsz),
+            lambda r, cols, i=i, l=l: (cols[(r * rt + i) * Lb + l], 0, 0),
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -208,5 +217,5 @@ def bell_smvm_pallas(a: BELL, v: jax.Array, *, row_tile: int = 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(cols, blocks, *([v2] * (rt * Lb)))
+    )(cols.reshape(-1), blocks, *([v2] * (rt * Lb)))
     return out[:nb].reshape(a.n)
