@@ -23,7 +23,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.bell import BELL
 
-__all__ = ["bell_spmm_pallas", "bell_spmm_pallas_fused", "bell_smvm_pallas"]
+__all__ = ["bell_spmm_pallas", "bell_spmm_pallas_fused",
+           "bell_spmm_pallas_windowed", "bell_smvm_pallas"]
 
 
 def _kernel(cols_ref, blk_ref, panel_ref, o_ref):
@@ -219,3 +220,122 @@ def bell_smvm_pallas(a: BELL, v: jax.Array, *, row_tile: int = 4,
         interpret=interpret,
     )(cols.reshape(-1), blocks, *([v2] * (rt * Lb)))
     return out[:nb].reshape(a.n)
+
+
+def bell_spmm_pallas_windowed(a: BELL, b: jax.Array, *, row_tile: int = 8,
+                              max_window: int = 64,
+                              interpret: bool = False):
+    """Window-fused SpMM for matrices with column locality (banded/FEM).
+
+    Per grid step (``row_tile`` block rows), TWO aligned DMAs bring the
+    contiguous granule range of operand panels covering every block column
+    the tile touches (BlockSpec indices are block-granular, so the window is
+    realized as two consecutive U-panel granules); blocks then select their
+    panel by a scalar-prefetched local offset.  For a band of half-width h
+    this cuts operand traffic from ``row_tile * Lb`` panels per tile to
+    ``2U ~ 2(row_tile + 2h)`` — approaching pure streaming.
+
+    Returns None (caller should fall back to ``bell_spmm_pallas_fused``) when
+    any row tile's column span exceeds ``max_window``.  Plan is built eagerly
+    once per pattern.
+    """
+    import numpy as np
+
+    b = jnp.asarray(b)
+    if b.ndim != 2 or b.shape[0] != a.n:
+        raise ValueError(
+            f"bell_spmm_pallas_windowed: operand shape {b.shape} != ({a.n}, k)"
+        )
+    k = b.shape[1]
+    nb, bsz, Lb = a.nb, a.bsz, a.Lb
+    out_dtype = jnp.result_type(a.dtype, b.dtype)
+    if a.n == 0 or Lb == 0 or k == 0:
+        return jnp.zeros((a.n, k), out_dtype)
+    rt = max(1, row_tile)
+    nb_pad = -(-nb // rt) * rt
+    ntiles = nb_pad // rt
+
+    # ---- eager plan: granule size U, per-tile granule ids, local offsets ----
+    cols_h = np.zeros((nb_pad, Lb), np.int64)
+    cols_h[:nb] = np.asarray(a.cols)
+    blocks_h = np.asarray(a.blocks)
+    slot_valid = np.zeros((nb_pad, Lb), bool)
+    slot_valid[:nb] = np.any(blocks_h != 0, axis=(2, 3))
+    U = 1
+    lo_t = np.zeros(ntiles, np.int64)
+    for t in range(ntiles):
+        v = slot_valid[t * rt : (t + 1) * rt]
+        c = cols_h[t * rt : (t + 1) * rt][v]
+        if c.size:
+            lo_t[t] = int(c.min())
+            U = max(U, int(c.max()) - int(c.min()) + 1)
+    if U > max_window:
+        return None
+    n_gran = -(-nb // U)
+    gran = np.minimum(lo_t // U, max(n_gran - 2, 0)).astype(np.int32)
+    offs = np.where(
+        slot_valid, cols_h - (gran.astype(np.int64) * U).repeat(rt)[:, None], 0
+    ).astype(np.int32)
+    # tiles near the end may have cols below the clamped granule base;
+    # clamp offsets into [0, 2U) — affected slots are only clamped when the
+    # pattern violates the window assumption, which U's sizing precludes
+    offs = np.clip(offs, 0, 2 * U - 1)
+
+    blocks = a.blocks.astype(out_dtype)
+    if nb_pad != nb:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((nb_pad - nb, Lb, bsz, bsz), blocks.dtype)]
+        )
+    # pad the operand so granules g and g+1 always exist
+    nb_gran_pad = (n_gran + 1) * U
+    b3 = b.reshape(nb, bsz, k).astype(out_dtype)
+    b3 = jnp.concatenate(
+        [b3, jnp.zeros((nb_gran_pad - nb, bsz, k), b3.dtype)]
+    )
+
+    def kernel(offs_ref, gran_ref, blk_ref, p0_ref, p1_ref, o_ref):
+        t = pl.program_id(0)
+        for i in range(rt):
+            acc = jnp.zeros((bsz, k), o_ref.dtype)
+            for l in range(Lb):
+                off = offs_ref[(t * rt + i) * Lb + l]
+                in_first = off < U
+                off0 = jnp.where(in_first, off, 0)
+                off1 = jnp.where(in_first, 0, off - U)
+                panel = jnp.where(in_first[..., None, None],
+                                  p0_ref[off0], p1_ref[off1])
+                acc = acc + jax.lax.dot_general(
+                    blk_ref[i, l],
+                    panel,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=o_ref.dtype,
+                )
+            o_ref[i] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (rt, Lb, bsz, bsz), lambda t, offs, gran: (t, 0, 0, 0)
+            ),
+            pl.BlockSpec((U, bsz, k), lambda t, offs, gran: (gran[t], 0, 0)),
+            pl.BlockSpec(
+                (U, bsz, k), lambda t, offs, gran: (gran[t] + 1, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec((rt, bsz, k), lambda t, offs, gran: (t, 0, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb_pad, bsz, k), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb_pad * Lb * bsz * bsz * k,
+            bytes_accessed=nb_pad * (Lb * bsz * bsz + bsz * k) * 4
+            + ntiles * 2 * U * bsz * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(offs.reshape(-1)), jnp.asarray(gran), blocks, b3, b3)
+    return out[:nb].reshape(a.n, k)

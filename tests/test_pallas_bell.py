@@ -70,3 +70,36 @@ def test_pallas_smvm_matches(n, bsz, rt):
     np.testing.assert_allclose(
         np.asarray(got), xa @ np.asarray(v), rtol=2e-5, atol=2e-5
     )
+
+
+def test_pallas_spmm_windowed_matches():
+    from sparse_tpu.ops.pallas_bell import bell_spmm_pallas_windowed
+
+    # banded pattern: windows stay narrow
+    rng = np.random.default_rng(9)
+    n, bsz, k = 64, 8, 128
+    nb = n // bsz
+    mask = np.zeros((nb, nb), bool)
+    for off in (-1, 0, 1):
+        mask |= np.eye(nb, k=off, dtype=bool)
+    x = (rng.standard_normal((n, n)) * np.kron(mask, np.ones((bsz, bsz)))).astype(
+        np.float32
+    )
+    from sparse_tpu import bsr_from_dense
+    from sparse_tpu.formats.bell import bell_from_bsr
+
+    a = bell_from_bsr(bsr_from_dense(jnp.asarray(x), bsz))
+    b = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    got = bell_spmm_pallas_windowed(a, b, row_tile=2, interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(
+        np.asarray(got), x @ np.asarray(b), rtol=2e-5, atol=2e-5
+    )
+    # scattered pattern: window cap exceeded -> fallback signal
+    y = np.zeros((n, n), np.float32)
+    y[:bsz, -bsz:] = 1.0
+    y[-bsz:, :bsz] = 1.0
+    y[:bsz, :bsz] = 1.0
+    a2 = bell_from_bsr(bsr_from_dense(jnp.asarray(y), bsz))
+    assert bell_spmm_pallas_windowed(a2, b, row_tile=2, max_window=2,
+                                     interpret=True) is None
