@@ -21,9 +21,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import dataclasses as _wp_dc
+from functools import partial as _wp_partial
+
 from ..formats.bell import BELL
 
+_wp_dataclass = _wp_dc.dataclass
+_wp_register = _wp_partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["offs", "gran"],
+    meta_fields=["U", "rt", "n_gran"],
+)
+
 __all__ = ["bell_spmm_pallas", "bell_spmm_pallas_fused",
+           "build_window_plan", "WindowPlan",
            "bell_spmm_pallas_windowed", "bell_smvm_pallas"]
 
 
@@ -222,40 +233,19 @@ def bell_smvm_pallas(a: BELL, v: jax.Array, *, row_tile: int = 4,
     return out[:nb].reshape(a.n)
 
 
-def bell_spmm_pallas_windowed(a: BELL, b: jax.Array, *, row_tile: int = 8,
-                              max_window: int = 64,
-                              interpret: bool = False):
-    """Window-fused SpMM for matrices with column locality (banded/FEM).
-
-    Per grid step (``row_tile`` block rows), TWO aligned DMAs bring the
-    contiguous granule range of operand panels covering every block column
-    the tile touches (BlockSpec indices are block-granular, so the window is
-    realized as two consecutive U-panel granules); blocks then select their
-    panel by a scalar-prefetched local offset.  For a band of half-width h
-    this cuts operand traffic from ``row_tile * Lb`` panels per tile to
-    ``2U ~ 2(row_tile + 2h)`` — approaching pure streaming.
-
-    Returns None (caller should fall back to ``bell_spmm_pallas_fused``) when
-    any row tile's column span exceeds ``max_window``.  Plan is built eagerly
-    once per pattern.
+def build_window_plan(a: BELL, row_tile: int = 8, max_window: int = 64):
+    """Eager plan for :func:`bell_spmm_pallas_windowed`: per-tile operand
+    granule ids + per-slot local offsets.  Returns None when some row tile's
+    block-column span exceeds ``max_window`` (fall back to the fused kernel).
     """
+    import dataclasses as _dc
+
     import numpy as np
 
-    b = jnp.asarray(b)
-    if b.ndim != 2 or b.shape[0] != a.n:
-        raise ValueError(
-            f"bell_spmm_pallas_windowed: operand shape {b.shape} != ({a.n}, k)"
-        )
-    k = b.shape[1]
-    nb, bsz, Lb = a.nb, a.bsz, a.Lb
-    out_dtype = jnp.result_type(a.dtype, b.dtype)
-    if a.n == 0 or Lb == 0 or k == 0:
-        return jnp.zeros((a.n, k), out_dtype)
+    nb, Lb = a.nb, a.Lb
     rt = max(1, row_tile)
-    nb_pad = -(-nb // rt) * rt
+    nb_pad = -(-max(nb, 1) // rt) * rt
     ntiles = nb_pad // rt
-
-    # ---- eager plan: granule size U, per-tile granule ids, local offsets ----
     cols_h = np.zeros((nb_pad, Lb), np.int64)
     cols_h[:nb] = np.asarray(a.cols)
     blocks_h = np.asarray(a.blocks)
@@ -271,15 +261,61 @@ def bell_spmm_pallas_windowed(a: BELL, b: jax.Array, *, row_tile: int = 8,
             U = max(U, int(c.max()) - int(c.min()) + 1)
     if U > max_window:
         return None
-    n_gran = -(-nb // U)
+    n_gran = -(-max(nb, 1) // U)
     gran = np.minimum(lo_t // U, max(n_gran - 2, 0)).astype(np.int32)
     offs = np.where(
         slot_valid, cols_h - (gran.astype(np.int64) * U).repeat(rt)[:, None], 0
     ).astype(np.int32)
-    # tiles near the end may have cols below the clamped granule base;
-    # clamp offsets into [0, 2U) — affected slots are only clamped when the
-    # pattern violates the window assumption, which U's sizing precludes
     offs = np.clip(offs, 0, 2 * U - 1)
+    return WindowPlan(
+        offs=jnp.asarray(offs.reshape(-1)),
+        gran=jnp.asarray(gran),
+        U=U,
+        rt=rt,
+        n_gran=n_gran,
+    )
+
+
+@_wp_register
+@_wp_dataclass(frozen=True)
+class WindowPlan:
+    """Static window plan (pytree: offs/gran are data, sizes are meta)."""
+
+    offs: jax.Array
+    gran: jax.Array
+    U: int
+    rt: int
+    n_gran: int
+
+
+def bell_spmm_pallas_windowed(a: BELL, b: jax.Array, plan: "WindowPlan",
+                              *, interpret: bool = False) -> jax.Array:
+    """Window-fused SpMM for matrices with column locality (banded/FEM).
+
+    Per grid step (``plan.rt`` block rows), TWO aligned DMAs bring the
+    contiguous granule range of operand panels covering every block column
+    the tile touches (BlockSpec indices are block-granular, so the window is
+    realized as two consecutive U-panel granules); blocks then select their
+    panel by a scalar-prefetched local offset.  For a band of half-width h
+    this cuts operand traffic from ``rt * Lb`` panels per tile to
+    ``2U ~ 2(rt + 2h)`` — approaching pure streaming.
+
+    Build ``plan`` once per pattern with :func:`build_window_plan`;
+    jit-compatible with the plan passed/captured (its sizes are static).
+    """
+    b = jnp.asarray(b)
+    if b.ndim != 2 or b.shape[0] != a.n:
+        raise ValueError(
+            f"bell_spmm_pallas_windowed: operand shape {b.shape} != ({a.n}, k)"
+        )
+    k = b.shape[1]
+    nb, bsz, Lb = a.nb, a.bsz, a.Lb
+    out_dtype = jnp.result_type(a.dtype, b.dtype)
+    if a.n == 0 or Lb == 0 or k == 0:
+        return jnp.zeros((a.n, k), out_dtype)
+    U, rt, n_gran = plan.U, plan.rt, plan.n_gran
+    nb_pad = -(-nb // rt) * rt
+    ntiles = nb_pad // rt
 
     blocks = a.blocks.astype(out_dtype)
     if nb_pad != nb:
@@ -337,5 +373,5 @@ def bell_spmm_pallas_windowed(a: BELL, b: jax.Array, *, row_tile: int = 8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray(offs.reshape(-1)), jnp.asarray(gran), blocks, b3, b3)
+    )(plan.offs, plan.gran, blocks, b3, b3)
     return out[:nb].reshape(a.n, k)

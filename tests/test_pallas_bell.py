@@ -73,7 +73,10 @@ def test_pallas_smvm_matches(n, bsz, rt):
 
 
 def test_pallas_spmm_windowed_matches():
-    from sparse_tpu.ops.pallas_bell import bell_spmm_pallas_windowed
+    from sparse_tpu.ops.pallas_bell import (
+        bell_spmm_pallas_windowed,
+        build_window_plan,
+    )
 
     # banded pattern: windows stay narrow
     rng = np.random.default_rng(9)
@@ -90,8 +93,9 @@ def test_pallas_spmm_windowed_matches():
 
     a = bell_from_bsr(bsr_from_dense(jnp.asarray(x), bsz))
     b = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
-    got = bell_spmm_pallas_windowed(a, b, row_tile=2, interpret=True)
-    assert got is not None
+    plan = build_window_plan(a, row_tile=2)
+    assert plan is not None
+    got = bell_spmm_pallas_windowed(a, b, plan, interpret=True)
     np.testing.assert_allclose(
         np.asarray(got), x @ np.asarray(b), rtol=2e-5, atol=2e-5
     )
@@ -101,5 +105,4 @@ def test_pallas_spmm_windowed_matches():
     y[-bsz:, :bsz] = 1.0
     y[:bsz, :bsz] = 1.0
     a2 = bell_from_bsr(bsr_from_dense(jnp.asarray(y), bsz))
-    assert bell_spmm_pallas_windowed(a2, b, row_tile=2, max_window=2,
-                                     interpret=True) is None
+    assert build_window_plan(a2, row_tile=2, max_window=2) is None
