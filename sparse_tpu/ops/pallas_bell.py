@@ -91,6 +91,7 @@ def bell_spmm_pallas(a: BELL, b: jax.Array, *, interpret: bool = False) -> jax.A
 
 
 def bell_spmm_pallas_fused(a: BELL, b: jax.Array, *,
+                           compute_dtype=None,
                            interpret: bool = False) -> jax.Array:
     """Fused variant: ONE grid step per block *row* — all Lb window panels
     arrive via Lb scalar-prefetch-driven DMAs and feed a single
@@ -107,11 +108,14 @@ def bell_spmm_pallas_fused(a: BELL, b: jax.Array, *,
     out_dtype = jnp.result_type(a.dtype, b.dtype)
     if a.n == 0 or Lb == 0 or k == 0:
         return jnp.zeros((a.n, k), out_dtype)
-    b3 = b.reshape(nb, bsz, k).astype(out_dtype)
+    # compute_dtype (e.g. bf16) streams blocks+panels at reduced width while
+    # accumulating in out_dtype on the MXU — the mixed-precision mode
+    stream_dtype = compute_dtype or out_dtype
+    b3 = b.reshape(nb, bsz, k).astype(stream_dtype)
     # kernel-friendly matrix layout: row r holds [A_0 | A_1 | ...] as one
     # (bsz, Lb*bsz) tile so the contraction is a single wide matmul
     lhs = jnp.swapaxes(a.blocks, 1, 2).reshape(nb, bsz, Lb * bsz).astype(
-        out_dtype
+        stream_dtype
     )
 
     def kernel(cols_ref, lhs_ref, *rest):

@@ -106,3 +106,18 @@ def test_pallas_spmm_windowed_matches():
     y[:bsz, :bsz] = 1.0
     a2 = bell_from_bsr(bsr_from_dense(jnp.asarray(y), bsz))
     assert build_window_plan(a2, row_tile=2, max_window=2) is None
+
+
+def test_pallas_spmm_fused_bf16_stream():
+    from sparse_tpu.ops.pallas_bell import bell_spmm_pallas_fused
+
+    a, xa = random_bell(32, 8, 0.5, seed=77)
+    b = jnp.asarray(
+        np.random.default_rng(7).standard_normal((32, 128)).astype(np.float32)
+    )
+    got = bell_spmm_pallas_fused(a, b, compute_dtype=jnp.bfloat16,
+                                 interpret=True)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(got), xa @ np.asarray(b), rtol=5e-2, atol=5e-2
+    )
