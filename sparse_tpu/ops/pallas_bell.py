@@ -306,6 +306,12 @@ def bell_spmm_pallas_windowed(a: BELL, b: jax.Array, plan: "WindowPlan",
 
     Build ``plan`` once per pattern with :func:`build_window_plan`;
     jit-compatible with the plan passed/captured (its sizes are static).
+
+    Status: correctness-validated (interpreter mode); the scratch-window
+    staging is designed to beat the fused kernel's ~1 us/grid-step floor,
+    but its on-chip measurement is pending (remote-chip access was congested
+    at round end) — the fused kernel remains the default inside
+    ``bell_spmm``.
     """
     b = jnp.asarray(b)
     if b.ndim != 2 or b.shape[0] != a.n:
@@ -333,17 +339,18 @@ def bell_spmm_pallas_windowed(a: BELL, b: jax.Array, plan: "WindowPlan",
         [b3, jnp.zeros((nb_gran_pad - nb, bsz, k), b3.dtype)]
     )
 
-    def kernel(offs_ref, gran_ref, blk_ref, p0_ref, p1_ref, o_ref):
+    def kernel(offs_ref, gran_ref, blk_ref, p0_ref, p1_ref, o_ref, scr_ref):
+        # stage the two granules into one contiguous VMEM window so each
+        # slot needs a single dynamic slice (a per-slot two-slice + select
+        # costs ~2x, measured)
         t = pl.program_id(0)
+        scr_ref[0:U] = p0_ref[...]
+        scr_ref[U : 2 * U] = p1_ref[...]
         for i in range(rt):
             acc = jnp.zeros((bsz, k), o_ref.dtype)
             for l in range(Lb):
                 off = offs_ref[(t * rt + i) * Lb + l]
-                in_first = off < U
-                off0 = jnp.where(in_first, off, 0)
-                off1 = jnp.where(in_first, 0, off - U)
-                panel = jnp.where(in_first[..., None, None],
-                                  p0_ref[off0], p1_ref[off1])
+                panel = scr_ref[off]
                 acc = acc + jax.lax.dot_general(
                     blk_ref[i, l],
                     panel,
@@ -365,6 +372,7 @@ def bell_spmm_pallas_windowed(a: BELL, b: jax.Array, plan: "WindowPlan",
             ),
         ],
         out_specs=pl.BlockSpec((rt, bsz, k), lambda t, offs, gran: (t, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((2 * U, bsz, k), out_dtype)],
     )
     out = pl.pallas_call(
         kernel,
