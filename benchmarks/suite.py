@@ -145,12 +145,14 @@ def bench_spgemm(quick):
         np.float32
     )
     a = csr_from_dense(jnp.asarray(x))
-    t0 = time.perf_counter()
-    c = spgemm(a, a)
-    c.data.block_until_ready()
-    t = time.perf_counter() - t0
+    spgemm(a, a).data.block_until_ready()  # warm (compile + plan)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spgemm(a, a).data.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
     flops = 2.0 * float((x != 0).sum(0) @ (x != 0).sum(1))
-    emit("spgemm_aa_gflops", flops / t / 1e9, "GFLOP/s")
+    emit("spgemm_aa_gflops", flops / best / 1e9, "GFLOP/s")
 
 
 def bench_distributed():
