@@ -307,11 +307,12 @@ def bell_spmm_pallas_windowed(a: BELL, b: jax.Array, plan: "WindowPlan",
     Build ``plan`` once per pattern with :func:`build_window_plan`;
     jit-compatible with the plan passed/captured (its sizes are static).
 
-    Status: correctness-validated (interpreter mode); the scratch-window
-    staging is designed to beat the fused kernel's ~1 us/grid-step floor,
-    but its on-chip measurement is pending (remote-chip access was congested
-    at round end) — the fused kernel remains the default inside
-    ``bell_spmm``.
+    Status: correctness-validated (interpreter mode).  Earlier variants
+    (per-slot small matmuls) measured 15.5-15.9 ms at 80M nnz — tied with
+    the fused kernel, bound by small serial MXU issues; this version does
+    one wide matmul per block row, with on-chip measurement still pending
+    (remote-chip congestion at round end).  The fused kernel remains the
+    default inside ``bell_spmm``.
     """
     b = jnp.asarray(b)
     if b.ndim != 2 or b.shape[0] != a.n:
@@ -327,10 +328,15 @@ def bell_spmm_pallas_windowed(a: BELL, b: jax.Array, plan: "WindowPlan",
     nb_pad = -(-nb // rt) * rt
     ntiles = nb_pad // rt
 
-    blocks = a.blocks.astype(out_dtype)
+    # row-major wide layout [A_0 | A_1 | ...] per block row: one
+    # (bsz, Lb*bsz) @ (Lb*bsz, k) matmul per row instead of Lb small ones
+    # (small serial MXU issues dominate the per-step time, measured)
+    lhs = jnp.swapaxes(a.blocks, 1, 2).reshape(nb, bsz, Lb * bsz).astype(
+        out_dtype
+    )
     if nb_pad != nb:
-        blocks = jnp.concatenate(
-            [blocks, jnp.zeros((nb_pad - nb, Lb, bsz, bsz), blocks.dtype)]
+        lhs = jnp.concatenate(
+            [lhs, jnp.zeros((nb_pad - nb, bsz, Lb * bsz), lhs.dtype)]
         )
     # pad the operand so granules g and g+1 always exist
     nb_gran_pad = (n_gran + 1) * U
@@ -341,30 +347,31 @@ def bell_spmm_pallas_windowed(a: BELL, b: jax.Array, plan: "WindowPlan",
 
     def kernel(offs_ref, gran_ref, blk_ref, p0_ref, p1_ref, o_ref, scr_ref):
         # stage the two granules into one contiguous VMEM window so each
-        # slot needs a single dynamic slice (a per-slot two-slice + select
-        # costs ~2x, measured)
+        # slot needs a single dynamic slice
         t = pl.program_id(0)
         scr_ref[0:U] = p0_ref[...]
         scr_ref[U : 2 * U] = p1_ref[...]
         for i in range(rt):
-            acc = jnp.zeros((bsz, k), o_ref.dtype)
-            for l in range(Lb):
-                off = offs_ref[(t * rt + i) * Lb + l]
-                panel = scr_ref[off]
-                acc = acc + jax.lax.dot_general(
-                    blk_ref[i, l],
-                    panel,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=o_ref.dtype,
-                )
-            o_ref[i] = acc
+            rhs = jnp.concatenate(
+                [
+                    scr_ref[offs_ref[(t * rt + i) * Lb + l]]
+                    for l in range(Lb)
+                ],
+                axis=0,
+            )  # (Lb*bsz, k)
+            o_ref[i] = jax.lax.dot_general(
+                blk_ref[i],
+                rhs,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=o_ref.dtype,
+            )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(
-                (rt, Lb, bsz, bsz), lambda t, offs, gran: (t, 0, 0, 0)
+                (rt, bsz, Lb * bsz), lambda t, offs, gran: (t, 0, 0)
             ),
             pl.BlockSpec((U, bsz, k), lambda t, offs, gran: (gran[t], 0, 0)),
             pl.BlockSpec(
@@ -385,5 +392,5 @@ def bell_spmm_pallas_windowed(a: BELL, b: jax.Array, plan: "WindowPlan",
             transcendentals=0,
         ),
         interpret=interpret,
-    )(plan.offs, plan.gran, blocks, b3, b3)
+    )(plan.offs, plan.gran, lhs, b3, b3)
     return out[:nb].reshape(a.n, k)
