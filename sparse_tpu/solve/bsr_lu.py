@@ -26,6 +26,9 @@ block, like the reference.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,6 +54,10 @@ __all__ = [
     "bsr_upper",
     "bsr_forsolve",
     "bsr_backsolve",
+    "bsr_tri_plan",
+    "TriSolvePlan",
+    "bsr_factorize",
+    "BSRFactorization",
     "bsr_ols",
 ]
 
@@ -296,64 +303,161 @@ def bsr_upper(a: BSR) -> BSR:
 # -- block triangular solves ---------------------------------------------------
 
 
-def bsr_forsolve(L: BSR, b: jax.Array) -> jax.Array:
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["off_pos", "off_col", "diag_pos"],
+    meta_fields=["lower"],
+)
+@dataclass(frozen=True)
+class TriSolvePlan:
+    """Static per-block-row index plan for a jittable triangular sweep.
+
+    Built once per sparsity pattern (host-side, like ``_lu_plan``); the
+    numeric sweep is then a single ``lax.fori_loop`` with no host syncs.
+    Padded lanes point at a zero scratch block (position ``nbz``) and a zero
+    scratch RHS row (block-row ``nb``), so they are algebraically inert.
+    """
+
+    off_pos: jax.Array  # (nb, W) block positions, pad = nbz (zero block)
+    off_col: jax.Array  # (nb, W) their block-columns, pad = nb (zero row)
+    diag_pos: jax.Array  # (nb,) diagonal position; forsolve pad = nbz
+    lower: bool
+
+
+def bsr_tri_plan(t: BSR, lower: bool) -> TriSolvePlan:
+    """Build the :class:`TriSolvePlan` for ``t`` (eager; pattern must be
+    concrete).  For ``lower=True`` an absent diagonal block means implicit
+    identity (reference forsolve reads strict lower + unit diagonal,
+    blocked_square_regular.fut:556-573); for ``lower=False`` a missing
+    diagonal raises, mirroring ERROR_backsolve_diagonal_element_is_zero
+    (blocked:597)."""
+    nb = t.nb
+    pos, rs, cs = _host_pattern(t)
+    scratch = t.nbz
+    offs, cols = [], []
+    diag = np.full(nb, scratch, np.int32)
+    for k in range(nb):
+        sel = (rs == k) & ((cs < k) if lower else (cs > k))
+        o = pos[sel]
+        offs.append(o)
+        cols.append(cs[np.searchsorted(pos, o)])
+        hd = pos[(rs == k) & (cs == k)]
+        if hd.size:
+            diag[k] = hd[0]
+        elif not lower:
+            raise ValueError(f"backsolve: diagonal block ({k},{k}) missing")
+    w = max((len(o) for o in offs), default=0)
+    off_pos = np.full((nb, max(w, 1)), scratch, np.int32)
+    off_col = np.full((nb, max(w, 1)), nb, np.int32)
+    for k, (o, c) in enumerate(zip(offs, cols)):
+        off_pos[k, : len(o)] = o
+        off_col[k, : len(o)] = c
+    return TriSolvePlan(
+        off_pos=jnp.asarray(off_pos),
+        off_col=jnp.asarray(off_col),
+        diag_pos=jnp.asarray(diag),
+        lower=lower,
+    )
+
+
+def _tri_sweep(t: BSR, b: jax.Array, plan: TriSolvePlan) -> jax.Array:
+    """One ``lax.fori_loop`` over block rows: gather the already-solved
+    neighbour rows (padded plan), one batched einsum, one dense triangular
+    solve of the diagonal block.  Fully jittable; zero per-step host syncs."""
+    b = jnp.asarray(b)
+    nb, bsz = t.nb, t.bsz
+    vec = b.ndim == 1
+    kk = 1 if vec else b.shape[1]
+    if nb == 0:
+        return b
+    # scratch block (zero) at position nbz; zero blocks act as identity under
+    # the unit-diagonal forsolve convention
+    ext = jnp.concatenate([t.blocks, jnp.zeros((1, bsz, bsz), t.blocks.dtype)])
+    y0 = jnp.concatenate(
+        [b.reshape(nb, bsz, kk).astype(ext.dtype),
+         jnp.zeros((1, bsz, kk), ext.dtype)]
+    )
+    solve = forsolve_dense if plan.lower else backsolve_dense
+
+    def step(s, y):
+        k = s if plan.lower else nb - 1 - s
+        contrib = jnp.einsum(
+            "bij,bjk->ik", ext[plan.off_pos[k]], y[plan.off_col[k]],
+            preferred_element_type=y.dtype,
+        )
+        rhs = solve(ext[plan.diag_pos[k]], y[k] - contrib)
+        return y.at[k].set(rhs)
+
+    y = jax.lax.fori_loop(0, nb, step, y0)[:nb]
+    return y.reshape(t.n) if vec else y.reshape(t.n, kk)
+
+
+def bsr_forsolve(L: BSR, b: jax.Array,
+                 plan: TriSolvePlan | None = None) -> jax.Array:
     """Solve ``L x = b`` reading only the strict lower part of ``L`` with
     implicit unit diagonal (reference ``forsolve``,
     blocked_square_regular.fut:556-573).  Sequential over block rows (the
-    inherent critical path); per-step work is dense block math.  ``b`` may be
-    a vector (n,) or a matrix of right-hand sides (n, k)."""
-    b = jnp.asarray(b)
-    nb, bsz = L.nb, L.bsz
-    pos, rs, cs = _host_pattern(L)
-    vec = b.ndim == 1
-    y = b.reshape(nb, bsz, -1)
-    for k in range(nb):
-        off = pos[(rs == k) & (cs < k)]
-        rhs = y[k]
-        if off.size:
-            c_off = cs[np.searchsorted(pos, off)]
-            contrib = jnp.einsum(
-                "bij,bjk->ik", L.blocks[off], y[jnp.asarray(c_off)]
-            )
-            rhs = rhs - contrib
-        hd = pos[(rs == k) & (cs == k)]
-        if hd.size:  # absent diagonal block = implicit identity
-            rhs = forsolve_dense(L.blocks[int(hd[0])], rhs)
-        y = y.at[k].set(rhs)
-    return y.reshape(L.n) if vec else y.reshape(L.n, -1)
+    inherent critical path) as one on-device ``lax.fori_loop``; ``b`` may be
+    a vector (n,) or a matrix of right-hand sides (n, k).
+
+    Pass ``plan=bsr_tri_plan(L, lower=True)`` to call under ``jit`` (plan
+    construction needs the concrete pattern)."""
+    if plan is None:
+        plan = bsr_tri_plan(L, lower=True)
+    return _tri_sweep(L, b, plan)
 
 
-def bsr_backsolve(U: BSR, yv: jax.Array) -> jax.Array:
+def bsr_backsolve(U: BSR, yv: jax.Array,
+                  plan: TriSolvePlan | None = None) -> jax.Array:
     """Solve ``U x = y`` reading the upper part incl. diagonal (reference
     ``backsolve``, blocked_square_regular.fut:577-599).  A zero diagonal
     element yields inf/nan (the reference aborts via
-    ERROR_backsolve_diagonal_element_is_zero, blocked:597)."""
-    yv = jnp.asarray(yv)
-    nb, bsz = U.nb, U.bsz
-    pos, rs, cs = _host_pattern(U)
-    vec = yv.ndim == 1
-    x = yv.reshape(nb, bsz, -1)
-    for k in range(nb - 1, -1, -1):
-        off = pos[(rs == k) & (cs > k)]
-        rhs = x[k]
-        if off.size:
-            c_off = cs[np.searchsorted(pos, off)]
-            contrib = jnp.einsum(
-                "bij,bjk->ik", U.blocks[off], x[jnp.asarray(c_off)]
-            )
-            rhs = rhs - contrib
-        hd = pos[(rs == k) & (cs == k)]
-        if hd.size != 1:
-            raise ValueError(f"backsolve: diagonal block ({k},{k}) missing")
-        rhs = backsolve_dense(U.blocks[int(hd[0])], rhs)
-        x = x.at[k].set(rhs)
-    return x.reshape(U.n) if vec else x.reshape(U.n, -1)
+    ERROR_backsolve_diagonal_element_is_zero, blocked:597); a missing
+    diagonal block raises at plan-build time."""
+    if plan is None:
+        plan = bsr_tri_plan(U, lower=False)
+    return _tri_sweep(U, yv, plan)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["lu", "p", "fplan", "bplan"],
+    meta_fields=[],
+)
+@dataclass(frozen=True)
+class BSRFactorization:
+    """Reusable pivoted block-sparse LU factorization: factor once with
+    :func:`bsr_factorize`, then :meth:`solve` many right-hand sides without
+    re-factorizing (``ols`` splits into its two phases; reference
+    blocked_square_regular.fut:601-603 recomputes the factorization per
+    solve because Futhark has no mutable cache — we keep the carrier)."""
+
+    lu: BSR
+    p: jax.Array
+    fplan: TriSolvePlan
+    bplan: TriSolvePlan
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        """Solve ``A x = b`` using the cached factors; jittable."""
+        y = bsr_forsolve(self.lu, jnp.asarray(b)[self.p], self.fplan)
+        return bsr_backsolve(self.lu, y, self.bplan)
+
+
+def bsr_factorize(a: BSR) -> BSRFactorization:
+    """Symbolic fill-in + pivoted numeric LU + triangular-solve plans, as a
+    reusable carrier.  ``bsr_factorize(a).solve(b) == bsr_ols(a, b)``."""
+    LU, p = bsr_lup(a)
+    return BSRFactorization(
+        lu=LU,
+        p=p,
+        fplan=bsr_tri_plan(LU, lower=True),
+        bplan=bsr_tri_plan(LU, lower=False),
+    )
 
 
 def bsr_ols(a: BSR, b: jax.Array) -> jax.Array:
     """Direct solve of ``A x = b`` via pivoted block-sparse LU (reference
     ``ols``, blocked_square_regular.fut:601-603).  ``b`` may be (n,) or a
-    multi-RHS matrix (n, k); factorize once with :func:`bsr_lup` to reuse
-    across many solves."""
-    LU, p = bsr_lup(a)
-    return bsr_backsolve(LU, bsr_forsolve(LU, jnp.asarray(b)[p]))
+    multi-RHS matrix (n, k); use :func:`bsr_factorize` to factor once and
+    solve many."""
+    return bsr_factorize(a).solve(b)

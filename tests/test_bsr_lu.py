@@ -2,6 +2,7 @@
 (blocked_square_regular_test.fut:193-349): P.A = L.U reconstruction, golden
 solves, fill-in discovery, forward/backward block solves, and ols residuals."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -210,3 +211,70 @@ def test_multi_rhs_solve():
     B = xa @ X_true
     X = bsr_ols(a, jnp.asarray(B))
     np.testing.assert_allclose(np.asarray(X), X_true, rtol=1e-8, atol=1e-8)
+
+
+def test_forsolve_jit_with_plan():
+    # the plan-carrying path traces under jit (zero per-step host syncs)
+    m = bsr_make(
+        4,
+        BSZ,
+        [
+            (0, 0, [[1.0, 0], [2.0, 1]]),
+            (1, 0, [[3.0, 4], [-1.0, -3]]),
+            (1, 1, [[1.0, 0], [0.0, 1]]),
+        ],
+    )
+    from sparse_tpu.solve.bsr_lu import bsr_tri_plan
+
+    plan = bsr_tri_plan(m, lower=True)
+    f = jax.jit(bsr_forsolve)
+    y = f(m, jnp.asarray([8.0, 7, 14, -7]), plan)
+    np.testing.assert_allclose(np.asarray(y), [8.0, -9, 26, -26], rtol=1e-12)
+
+
+def test_backsolve_jit_with_plan():
+    m = bsr_make(
+        4,
+        BSZ,
+        [
+            (0, 0, [[1.0, 1], [0.0, -1]]),
+            (0, 1, [[0.0, 3], [-1.0, -5]]),
+            (1, 1, [[3.0, 13], [0.0, -13]]),
+        ],
+    )
+    from sparse_tpu.solve.bsr_lu import bsr_tri_plan
+
+    plan = bsr_tri_plan(m, lower=False)
+    x = jax.jit(bsr_backsolve)(m, jnp.asarray([8.0, -9, 26, -26]), plan)
+    np.testing.assert_allclose(np.asarray(x), [3.0, -1, 0, 2], rtol=1e-12)
+
+
+def test_backsolve_missing_diagonal_raises():
+    m = bsr_make(4, BSZ, [(0, 1, [[1.0, 2], [3.0, 4]])])
+    with pytest.raises(ValueError, match="diagonal"):
+        bsr_backsolve(m, jnp.arange(4.0))
+
+
+def test_factorize_solve_many():
+    # factor once, solve twice (incl. multi-RHS); jit-compatible carrier
+    from sparse_tpu.solve.bsr_lu import bsr_factorize
+
+    m = with_offdiag(5)
+    fact = bsr_factorize(m)
+    b1 = jnp.asarray(np.arange(5 * BSZ) + 2.0)
+    b2 = jnp.asarray(np.arange(5 * BSZ)[::-1] * 1.5 + 1.0)
+    solve = jax.jit(lambda f, b: f.solve(b))
+    for b in (b1, b2):
+        x = solve(fact, b)
+        np.testing.assert_allclose(
+            np.asarray(bsr_smvm(m, x)), np.asarray(b), atol=EPS
+        )
+    # multi-RHS
+    B = jnp.stack([b1, b2], axis=1)
+    X = fact.solve(B)
+    np.testing.assert_allclose(
+        np.asarray(bsr_smvm(m, X[:, 0])), np.asarray(b1), atol=EPS
+    )
+    np.testing.assert_allclose(
+        np.asarray(bsr_smvm(m, X[:, 1])), np.asarray(b2), atol=EPS
+    )
