@@ -82,6 +82,7 @@ def tpu_time(rows, cols, blocks, b, iters=3):
 
     from sparse_tpu.formats.bell import bell_from_bsr, bell_spmm
     from sparse_tpu.formats.bsr import BSR
+    from sparse_tpu.ops.pallas_bell import bell_banded_prepare
     from sparse_tpu.ops.segmented import INDEX_DTYPE
 
     nb = NB
@@ -94,20 +95,25 @@ def tpu_time(rows, cols, blocks, b, iters=3):
         )
     )
     bj = jnp.asarray(b)
+    # banded kit (plan + densified tiles, eager, once per matrix): rt=5
+    # divides nb so the kernel output needs no tail slice; None falls back
+    # to the fused kernel
+    plan = (bell_banded_prepare(a, row_tile=5)
+            if jax.default_backend() == "tpu" else None)
 
     @jax.jit
-    def chain(a, b):
+    def chain(a, b, plan):
         def body(_, b):
-            w = bell_spmm(a, b)
+            w = bell_spmm(a, b, plan=plan)
             return w / (jnp.max(jnp.abs(w)) + 1.0)
 
         return jnp.sum(jax.lax.fori_loop(0, K_CHAIN, body, b))
 
-    float(chain(a, bj))  # compile + execute
+    float(chain(a, bj, plan))  # compile + execute
     best = np.inf
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(chain(a, bj))
+        float(chain(a, bj, plan))
         best = min(best, time.perf_counter() - t0)
     return best / K_CHAIN
 

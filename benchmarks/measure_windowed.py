@@ -21,8 +21,10 @@ from sparse_tpu.formats.bell import BELL, bell_from_bsr
 from sparse_tpu.formats.bsr import BSR
 from sparse_tpu.ops.segmented import INDEX_DTYPE
 from sparse_tpu.ops.pallas_bell import (
+    bell_spmm_pallas_banded,
     bell_spmm_pallas_fused,
     bell_spmm_pallas_windowed,
+    build_banded_plan,
     build_window_plan,
 )
 
@@ -46,6 +48,20 @@ def main(which: str):
     if which == "fused":
         op = bell_spmm_pallas_fused
         extra = ()
+    elif which.startswith("band"):
+        spec = which[4:]
+        bf16 = spec.endswith("h")
+        rt = int(spec.rstrip("h"))
+        plan = build_banded_plan(a, row_tile=rt, max_window=96)
+        assert plan is not None, "banded plan failed"
+        print(f"plan W={plan.W} rt={plan.rt}", file=sys.stderr)
+        import jax.numpy as _jnp
+        if bf16:
+            op = lambda a, b, p: bell_spmm_pallas_banded(
+                a, b, p, compute_dtype=_jnp.bfloat16)
+        else:
+            op = bell_spmm_pallas_banded
+        extra = (plan,)
     elif which.startswith("win"):
         rt = int(which[3:])
         plan = build_window_plan(a, row_tile=rt, max_window=64)

@@ -126,15 +126,20 @@ def bell_smvm(a: BELL, v: jax.Array) -> jax.Array:
     return out.reshape(a.n).astype(out_dtype)
 
 
-def bell_spmm(a: BELL, b: jax.Array, *, prefer_pallas: bool | None = None
-              ) -> jax.Array:
+def bell_spmm(a: BELL, b: jax.Array, *, prefer_pallas: bool | None = None,
+              plan=None, compute_dtype=None) -> jax.Array:
     """Blocked-ELL SpMM: batched (bsz x bsz) @ (bsz x k) on the MXU.
 
-    On TPU backends this dispatches to the fused Pallas kernel
-    (``ops/pallas_bell.bell_spmm_pallas_fused``) by default: it avoids the
-    materialized (nb, Lb, bsz, k) gather intermediate entirely (which caps
-    the XLA path's feasible problem size) and measured 1.5x+ faster;
-    ``prefer_pallas=False`` forces the XLA gather-einsum path."""
+    On TPU backends this dispatches to a Pallas kernel by default: with a
+    ``plan`` from ``ops.pallas_bell.build_banded_plan`` (matrices whose rows
+    store consecutive block columns — bands/FEM), the dense-tile banded
+    kernel (one wide MXU matmul + one window DMA per row tile, streaming-
+    bound); otherwise the fused kernel (one block row per step, no
+    materialized gather intermediate — the XLA path needs an (nb, Lb, bsz,
+    k) temporary that caps its feasible size).  ``prefer_pallas=False``
+    forces the XLA gather-einsum path.  ``compute_dtype=jnp.bfloat16``
+    streams matrix+operand at half width with f32 accumulation (banded
+    kernel only)."""
     b = jnp.asarray(b)
     if b.ndim != 2 or b.shape[0] != a.n:
         raise ValueError(f"bell_spmm: operand shape {b.shape} != ({a.n}, k)")
@@ -145,6 +150,17 @@ def bell_spmm(a: BELL, b: jax.Array, *, prefer_pallas: bool | None = None
     if prefer_pallas is None:
         prefer_pallas = jax.default_backend() == "tpu"
     if prefer_pallas:
+        if plan is not None:
+            from ..ops.pallas_bell import BandedKit, bell_spmm_pallas_banded
+
+            if isinstance(plan, BandedKit):
+                return bell_spmm_pallas_banded(
+                    a, b, plan.plan, tiles=plan.tiles,
+                    compute_dtype=plan.tiles.dtype,
+                )
+            return bell_spmm_pallas_banded(
+                a, b, plan, compute_dtype=compute_dtype
+            )
         from ..ops.pallas_bell import bell_spmm_pallas_fused
 
         return bell_spmm_pallas_fused(a, b)

@@ -27,15 +27,9 @@ from functools import partial as _wp_partial
 from ..formats.bell import BELL
 
 _wp_dataclass = _wp_dc.dataclass
-_wp_register = _wp_partial(
-    jax.tree_util.register_dataclass,
-    data_fields=["offs", "gran"],
-    meta_fields=["U", "rt", "n_gran"],
-)
 
-__all__ = ["bell_spmm_pallas", "bell_spmm_pallas_fused",
-           "build_window_plan", "WindowPlan",
-           "bell_spmm_pallas_windowed", "bell_smvm_pallas"]
+__all__ = ["bell_spmm_pallas", "bell_spmm_pallas_fused", "bell_smvm_pallas",
+           "build_banded_plan", "BandedPlan", "bell_spmm_pallas_banded"]
 
 
 def _kernel(cols_ref, blk_ref, panel_ref, o_ref):
@@ -237,160 +231,240 @@ def bell_smvm_pallas(a: BELL, v: jax.Array, *, row_tile: int = 4,
     return out[:nb].reshape(a.n)
 
 
-def build_window_plan(a: BELL, row_tile: int = 8, max_window: int = 64):
-    """Eager plan for :func:`bell_spmm_pallas_windowed`: per-tile operand
-    granule ids + per-slot local offsets.  Returns None when some row tile's
-    block-column span exceeds ``max_window`` (fall back to the fused kernel).
-    """
-    import dataclasses as _dc
+_bp_register = _wp_partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["offs", "start"],
+    meta_fields=["W", "rt"],
+)
 
+
+@_bp_register
+@_wp_dataclass(frozen=True)
+class BandedPlan:
+    """Static plan for :func:`bell_spmm_pallas_banded` (pytree: offs/start
+    are data, sizes are meta)."""
+
+    offs: jax.Array  # (nb_pad,) int32: row's window offset (first col - start)
+    start: jax.Array  # (ntiles,) int32: first operand panel of each tile
+    W: int  # window width in panels
+    rt: int  # block rows per grid step
+
+
+def build_banded_plan(a: BELL, row_tile: int = 8,
+                      max_window: int = 64) -> "BandedPlan | None":
+    """Plan for matrices whose rows store *consecutive* block columns
+    (bands / FEM meshes after BELL layout, where slots are col-sorted with
+    zero-padding at the end).  Returns None when some row's valid slots are
+    not a consecutive ascending run, or the per-tile window would exceed
+    ``max_window`` panels — callers fall back to the fused kernel.
+    """
     import numpy as np
 
-    nb, Lb = a.nb, a.Lb
+    nb, Lb, bsz = a.nb, a.Lb, a.bsz
     rt = max(1, row_tile)
-    nb_pad = -(-max(nb, 1) // rt) * rt
+    if nb == 0 or Lb == 0:
+        return None
+    nb_pad = -(-nb // rt) * rt
     ntiles = nb_pad // rt
     cols_h = np.zeros((nb_pad, Lb), np.int64)
     cols_h[:nb] = np.asarray(a.cols)
     blocks_h = np.asarray(a.blocks)
     slot_valid = np.zeros((nb_pad, Lb), bool)
     slot_valid[:nb] = np.any(blocks_h != 0, axis=(2, 3))
-    U = 1
-    lo_t = np.zeros(ntiles, np.int64)
-    for t in range(ntiles):
-        v = slot_valid[t * rt : (t + 1) * rt]
-        c = cols_h[t * rt : (t + 1) * rt][v]
-        if c.size:
-            lo_t[t] = int(c.min())
-            U = max(U, int(c.max()) - int(c.min()) + 1)
-    if U > max_window:
+    # valid slots must be a prefix (padding at the end) with cols c0, c0+1, ...
+    nvalid = slot_valid.sum(axis=1)
+    idx = np.arange(Lb)[None, :]
+    if np.any(slot_valid & (idx >= nvalid[:, None])):
+        return None  # valid slots are not a prefix
+    first = cols_h[:, 0].copy()
+    first[nvalid == 0] = 0
+    expect = first[:, None] + idx
+    if np.any(slot_valid & (cols_h != expect)):
+        return None  # not consecutive ascending
+    # tile start = min first over rows that store anything (empty rows —
+    # incl. the nb_pad tail — follow their tile's start with offset 0)
+    big = np.where(nvalid > 0, first, np.iinfo(np.int64).max).reshape(
+        ntiles, rt
+    )
+    start = big.min(axis=1)
+    start[start == np.iinfo(np.int64).max] = 0
+    first[nvalid == 0] = start.repeat(rt)[nvalid == 0]
+    W = int((first.reshape(ntiles, rt) - start[:, None]).max()) + Lb
+    # lane alignment: the densified tile's trailing dim is W*bsz — keep it a
+    # multiple of 128 or Mosaic pads/relayouts every step (measured: W*bsz =
+    # 288 ran ~20x slower than 384)
+    import math
+
+    lane_q = 128 // math.gcd(bsz, 128)
+    W = -(-W // lane_q) * lane_q
+    if W > max_window or W > nb:
         return None
-    n_gran = -(-max(nb, 1) // U)
-    gran = np.minimum(lo_t // U, max(n_gran - 2, 0)).astype(np.int32)
-    offs = np.where(
-        slot_valid, cols_h - (gran.astype(np.int64) * U).repeat(rt)[:, None], 0
-    ).astype(np.int32)
-    offs = np.clip(offs, 0, 2 * U - 1)
-    return WindowPlan(
-        offs=jnp.asarray(offs.reshape(-1)),
-        gran=jnp.asarray(gran),
-        U=U,
+    # clamp each window into [0, nb - W]: the operand is then read unpadded
+    # (no per-call pad copy).  Safe: every VALID block's column c satisfies
+    # c <= nb - 1, so its densified position (c - start)*bsz stays inside the
+    # W-panel window after clamping.
+    start = np.minimum(start, nb - W)
+    offs = (first - start.repeat(rt)).astype(np.int32)
+    return BandedPlan(
+        offs=jnp.asarray(offs),
+        start=jnp.asarray(start.astype(np.int32)),
+        W=W,
         rt=rt,
-        n_gran=n_gran,
     )
 
 
-@_wp_register
-@_wp_dataclass(frozen=True)
-class WindowPlan:
-    """Static window plan (pytree: offs/gran are data, sizes are meta)."""
+def _densify_band_tiles(a: BELL, plan: "BandedPlan", stream_dtype):
+    """(ntiles, rt*bsz, W*bsz) dense banded tiles from BELL blocks.
 
-    offs: jax.Array
-    gran: jax.Array
-    U: int
-    rt: int
-    n_gran: int
+    Each block row's wide panel [A_0 | A_1 | ...] lands at column offset
+    ``offs[r]*bsz`` of its tile — the block-Toeplitz band densified so the
+    whole tile is ONE MXU matmul.  Pure XLA (gather + mask): under a jit
+    whose loop reuses ``a`` this is computed once (loop-invariant hoisting);
+    for repeated calls across jits, pass the result via
+    :func:`bell_spmm_pallas_banded`'s ``tiles=`` argument.
+    """
+    nb, bsz, Lb = a.nb, a.bsz, a.Lb
+    W, rt = plan.W, plan.rt
+    nb_pad = -(-nb // rt) * rt
+    wide = jnp.swapaxes(a.blocks, 1, 2).reshape(nb, bsz, Lb * bsz)
+    if nb_pad != nb:
+        wide = jnp.concatenate(
+            [wide, jnp.zeros((nb_pad - nb, bsz, Lb * bsz), wide.dtype)]
+        )
+    c = jnp.arange(W * bsz, dtype=jnp.int32)[None, :]
+    src = c - plan.offs[:, None] * bsz
+    ok = (src >= 0) & (src < Lb * bsz)
+    srcc = jnp.clip(src, 0, Lb * bsz - 1)
+    dense = jnp.where(
+        ok[:, None, :],
+        jnp.take_along_axis(
+            wide,
+            jnp.broadcast_to(srcc[:, None, :], (nb_pad, bsz, W * bsz)),
+            axis=2,
+        ),
+        0,
+    )
+    return dense.reshape(nb_pad // rt, rt * bsz, W * bsz).astype(stream_dtype)
 
 
-def bell_spmm_pallas_windowed(a: BELL, b: jax.Array, plan: "WindowPlan",
-                              *, interpret: bool = False) -> jax.Array:
-    """Window-fused SpMM for matrices with column locality (banded/FEM).
+def bell_spmm_pallas_banded(a: BELL, b: jax.Array, plan: "BandedPlan", *,
+                            compute_dtype=None, tiles: jax.Array | None = None,
+                            interpret: bool = False) -> jax.Array:
+    """Banded/consecutive-column SpMM: one wide MXU matmul per row tile.
 
-    Per grid step (``plan.rt`` block rows), TWO aligned DMAs bring the
-    contiguous granule range of operand panels covering every block column
-    the tile touches (BlockSpec indices are block-granular, so the window is
-    realized as two consecutive U-panel granules); blocks then select their
-    panel by a scalar-prefetched local offset.  For a band of half-width h
-    this cuts operand traffic from ``rt * Lb`` panels per tile to
-    ``2U ~ 2(rt + 2h)`` — approaching pure streaming.
+    Per grid step (``plan.rt`` block rows), ONE element-offset window DMA
+    (``pl.Element``) brings the ``W`` consecutive operand panels the tile
+    touches, and the densified banded tile multiplies it in a single
+    ``(rt*bsz, W*bsz) @ (W*bsz, k)`` matmul.  vs the fused kernel:
+    ``nb/rt`` grid steps instead of ``nb`` (amortizing the ~1 us/step
+    floor), full-height MXU issues, and each operand panel is fetched ~once
+    (``W ~ rt + band``) instead of once per stored block — streaming-bound.
+    The densified tiles cost ``W/Lb``x the packed block bytes; pass
+    ``compute_dtype=jnp.bfloat16`` to stream them (and the operand) at half
+    width with f32 MXU accumulation.
 
-    Build ``plan`` once per pattern with :func:`build_window_plan`;
-    jit-compatible with the plan passed/captured (its sizes are static).
-
-    Status: correctness-validated (interpreter mode).  Earlier variants
-    (per-slot small matmuls) measured 15.5-15.9 ms at 80M nnz — tied with
-    the fused kernel, bound by small serial MXU issues; this version does
-    one wide matmul per block row, with on-chip measurement still pending
-    (remote-chip congestion at round end).  The fused kernel remains the
-    default inside ``bell_spmm``.
+    Build ``plan`` with :func:`build_banded_plan` (None -> use the fused
+    kernel); precompute ``tiles=_densify_band_tiles(a, plan, dt)`` to reuse
+    across separately-jitted calls.
     """
     b = jnp.asarray(b)
     if b.ndim != 2 or b.shape[0] != a.n:
         raise ValueError(
-            f"bell_spmm_pallas_windowed: operand shape {b.shape} != ({a.n}, k)"
+            f"bell_spmm_pallas_banded: operand shape {b.shape} != ({a.n}, k)"
         )
     k = b.shape[1]
     nb, bsz, Lb = a.nb, a.bsz, a.Lb
     out_dtype = jnp.result_type(a.dtype, b.dtype)
     if a.n == 0 or Lb == 0 or k == 0:
         return jnp.zeros((a.n, k), out_dtype)
-    U, rt, n_gran = plan.U, plan.rt, plan.n_gran
+    W, rt = plan.W, plan.rt
     nb_pad = -(-nb // rt) * rt
     ntiles = nb_pad // rt
+    stream_dtype = jnp.dtype(compute_dtype) if compute_dtype else out_dtype
+    if tiles is None:
+        tiles = _densify_band_tiles(a, plan, stream_dtype)
+    b3 = b.reshape(nb, bsz, k).astype(stream_dtype)
 
-    # row-major wide layout [A_0 | A_1 | ...] per block row: one
-    # (bsz, Lb*bsz) @ (Lb*bsz, k) matmul per row instead of Lb small ones
-    # (small serial MXU issues dominate the per-step time, measured)
-    lhs = jnp.swapaxes(a.blocks, 1, 2).reshape(nb, bsz, Lb * bsz).astype(
-        out_dtype
-    )
-    if nb_pad != nb:
-        lhs = jnp.concatenate(
-            [lhs, jnp.zeros((nb_pad - nb, bsz, Lb * bsz), lhs.dtype)]
+    def kernel(start_ref, t_ref, win_ref, o_ref):
+        o_ref[0] = jax.lax.dot_general(
+            t_ref[0],
+            win_ref[...].reshape(W * bsz, k),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=o_ref.dtype,
         )
-    # pad the operand so granules g and g+1 always exist
-    nb_gran_pad = (n_gran + 1) * U
-    b3 = b.reshape(nb, bsz, k).astype(out_dtype)
-    b3 = jnp.concatenate(
-        [b3, jnp.zeros((nb_gran_pad - nb, bsz, k), b3.dtype)]
-    )
-
-    def kernel(offs_ref, gran_ref, blk_ref, p0_ref, p1_ref, o_ref, scr_ref):
-        # stage the two granules into one contiguous VMEM window so each
-        # slot needs a single dynamic slice
-        t = pl.program_id(0)
-        scr_ref[0:U] = p0_ref[...]
-        scr_ref[U : 2 * U] = p1_ref[...]
-        for i in range(rt):
-            rhs = jnp.concatenate(
-                [
-                    scr_ref[offs_ref[(t * rt + i) * Lb + l]]
-                    for l in range(Lb)
-                ],
-                axis=0,
-            )  # (Lb*bsz, k)
-            o_ref[i] = jax.lax.dot_general(
-                blk_ref[i],
-                rhs,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=o_ref.dtype,
-            )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
+            pl.BlockSpec((1, rt * bsz, W * bsz), lambda t, start: (t, 0, 0)),
+            # all dims Element (Mosaic: mixing Element/Blocked dims is
+            # unsupported); axis-0 offset is in panels = elements of b3,
+            # always within [0, nb - W] by plan construction
             pl.BlockSpec(
-                (rt, bsz, Lb * bsz), lambda t, offs, gran: (t, 0, 0)
-            ),
-            pl.BlockSpec((U, bsz, k), lambda t, offs, gran: (gran[t], 0, 0)),
-            pl.BlockSpec(
-                (U, bsz, k), lambda t, offs, gran: (gran[t] + 1, 0, 0)
+                (pl.Element(W), pl.Element(bsz), pl.Element(k)),
+                lambda t, start: (start[t], 0, 0),
             ),
         ],
-        out_specs=pl.BlockSpec((rt, bsz, k), lambda t, offs, gran: (t, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((2 * U, bsz, k), out_dtype)],
+        out_specs=pl.BlockSpec((1, rt * bsz, k), lambda t, start: (t, 0, 0)),
     )
+    esz = jnp.dtype(stream_dtype).itemsize
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb_pad, bsz, k), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((ntiles, rt * bsz, k), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nb_pad * Lb * bsz * bsz * k,
-            bytes_accessed=nb_pad * (Lb * bsz * bsz + bsz * k) * 4
-            + ntiles * 2 * U * bsz * k * 4,
+            flops=2 * ntiles * rt * bsz * W * bsz * k,
+            bytes_accessed=ntiles * (rt * bsz * W * bsz + W * bsz * k) * esz
+            + ntiles * rt * bsz * k * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(plan.offs, plan.gran, lhs, b3, b3)
-    return out[:nb].reshape(a.n, k)
+    )(plan.start, tiles, b3)
+    out = out.reshape(nb_pad * bsz, k)
+    return out if nb_pad == nb else out[: a.n]
+
+
+_bk_register = _wp_partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["plan", "tiles"],
+    meta_fields=[],
+)
+
+
+@_bk_register
+@_wp_dataclass(frozen=True)
+class BandedKit:
+    """Plan + densified tiles, prepared once per (pattern, values) with
+    :func:`bell_banded_prepare` and passed to ``bell_spmm(..., plan=kit)``.
+
+    The tiles are bound to the matrix VALUES (not just the pattern):
+    re-prepare after updating ``a.blocks``.  Kept separate from the in-jit
+    densify fallback because XLA compiles the densifying gather to
+    scalar-gather rate (~0.14 G elem/s) when it is fused inside a loop —
+    measured 4.7 s/iter vs 9.8 ms/iter at the 80M-nnz bench size."""
+
+    plan: BandedPlan
+    tiles: jax.Array
+
+
+def bell_banded_prepare(a: BELL, row_tile: int | None = None,
+                        max_window: int = 64,
+                        compute_dtype=None) -> "BandedKit | None":
+    """Eagerly build the banded plan and densified tiles for ``a``.
+
+    Returns None when the pattern is not consecutive-column (use the fused
+    kernel).  ``row_tile=None`` picks the largest rt <= 8 dividing nb (a
+    non-dividing rt pads the output and pays a tail-slice copy).
+    ``compute_dtype=jnp.bfloat16`` stores tiles at half width (the kernel
+    then also streams the operand as bf16, accumulating f32)."""
+    if row_tile is None:
+        nb = a.nb
+        row_tile = next((rt for rt in (8, 7, 6, 5, 4, 3, 2)
+                         if nb % rt == 0), 1) if nb else 8
+    plan = build_banded_plan(a, row_tile=row_tile, max_window=max_window)
+    if plan is None:
+        return None
+    dt = jnp.dtype(compute_dtype) if compute_dtype else a.dtype
+    tiles = jax.jit(_densify_band_tiles, static_argnums=(2,))(a, plan, dt)
+    return BandedKit(plan=plan, tiles=tiles)

@@ -72,40 +72,77 @@ def test_pallas_smvm_matches(n, bsz, rt):
     )
 
 
-def test_pallas_spmm_windowed_matches():
-    from sparse_tpu.ops.pallas_bell import (
-        bell_spmm_pallas_windowed,
-        build_window_plan,
-    )
-
-    # banded pattern: windows stay narrow
-    rng = np.random.default_rng(9)
-    n, bsz, k = 64, 8, 128
-    nb = n // bsz
+def banded_bell(nb, bsz, half_band, seed, empty_rows=()):
+    rng = np.random.default_rng(seed)
+    n = nb * bsz
     mask = np.zeros((nb, nb), bool)
-    for off in (-1, 0, 1):
+    for off in range(-half_band, half_band + 1):
         mask |= np.eye(nb, k=off, dtype=bool)
-    x = (rng.standard_normal((n, n)) * np.kron(mask, np.ones((bsz, bsz)))).astype(
-        np.float32
-    )
-    from sparse_tpu import bsr_from_dense
-    from sparse_tpu.formats.bell import bell_from_bsr
+    for r in empty_rows:
+        mask[r] = False
+    x = (rng.standard_normal((n, n)) * np.kron(mask, np.ones((bsz, bsz)))
+         ).astype(np.float32)
+    return bell_from_bsr(bsr_from_dense(jnp.asarray(x), bsz)), x
 
-    a = bell_from_bsr(bsr_from_dense(jnp.asarray(x), bsz))
-    b = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
-    plan = build_window_plan(a, row_tile=2)
-    assert plan is not None
-    got = bell_spmm_pallas_windowed(a, b, plan, interpret=True)
-    np.testing.assert_allclose(
-        np.asarray(got), x @ np.asarray(b), rtol=2e-5, atol=2e-5
+
+@pytest.mark.parametrize("nb,bsz,hb,rt", [(16, 8, 1, 4), (37, 8, 2, 4),
+                                          (12, 16, 1, 3)])
+def test_pallas_spmm_banded_matches(nb, bsz, hb, rt):
+    from sparse_tpu.ops.pallas_bell import (
+        bell_spmm_pallas_banded,
+        build_banded_plan,
     )
-    # scattered pattern: window cap exceeded -> fallback signal
+
+    a, x = banded_bell(nb, bsz, hb, seed=nb + rt, empty_rows=(nb // 2,))
+    k = 128
+    b = jnp.asarray(
+        np.random.default_rng(rt).standard_normal((nb * bsz, k)).astype(
+            np.float32)
+    )
+    plan = build_banded_plan(a, row_tile=rt)
+    assert plan is not None
+    # clamped windows: every start stays within [0, nb - W]
+    assert int(jnp.max(plan.start)) <= nb - plan.W >= 0 or nb == plan.W
+    got = bell_spmm_pallas_banded(a, b, plan, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), x @ np.asarray(b), rtol=2e-5, atol=2e-4
+    )
+
+
+def test_pallas_spmm_banded_plan_fallbacks():
+    from sparse_tpu.ops.pallas_bell import build_banded_plan
+
+    n, bsz = 64, 8
+    nb = n // bsz
+    # scattered pattern (non-consecutive block columns) -> no plan
     y = np.zeros((n, n), np.float32)
     y[:bsz, -bsz:] = 1.0
-    y[-bsz:, :bsz] = 1.0
     y[:bsz, :bsz] = 1.0
     a2 = bell_from_bsr(bsr_from_dense(jnp.asarray(y), bsz))
-    assert build_window_plan(a2, row_tile=2, max_window=2) is None
+    assert build_banded_plan(a2, row_tile=2) is None
+    # window cap exceeded -> no plan
+    a3, _ = banded_bell(nb, bsz, 1, seed=1)
+    assert build_banded_plan(a3, row_tile=2, max_window=2) is None
+
+
+def test_banded_kit_spmm_dispatch():
+    from sparse_tpu.formats.bell import bell_spmm
+    from sparse_tpu.ops.pallas_bell import BandedKit, bell_banded_prepare
+
+    a, x = banded_bell(16, 8, 1, seed=3)
+    kit = bell_banded_prepare(a)
+    assert isinstance(kit, BandedKit)
+    b = jnp.asarray(
+        np.random.default_rng(0).standard_normal((128, 128)).astype(np.float32)
+    )
+    # prefer_pallas path is TPU-only; on CPU exercise the kernel directly
+    from sparse_tpu.ops.pallas_bell import bell_spmm_pallas_banded
+
+    got = bell_spmm_pallas_banded(a, b, kit.plan, tiles=kit.tiles,
+                                  interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), x @ np.asarray(b), rtol=2e-5, atol=2e-4
+    )
 
 
 def test_pallas_spmm_fused_bf16_stream():
