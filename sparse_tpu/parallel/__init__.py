@@ -7,7 +7,14 @@ from .pcsr import (  # noqa: F401
     make_1d_mesh,
 )
 from .cg import bicgstab_solve, cg_solve, pcg_solve, power_iteration_step  # noqa: F401
-from .halo import HaloPCSR, halo_partition, halo_spmv  # noqa: F401
+from .halo import (  # noqa: F401
+    HaloPCSR,
+    HaloPCSROverlap,
+    halo_partition,
+    halo_partition_overlapped,
+    halo_spmv,
+    halo_spmv_overlapped,
+)
 from .pbell import (  # noqa: F401
     PBELL,
     pbell_from_bell,

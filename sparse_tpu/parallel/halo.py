@@ -29,7 +29,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..formats.csr import CSR
 from ..ops.segmented import INDEX_DTYPE, row_ids_from_indptr, segment_sum
 
-__all__ = ["HaloPCSR", "halo_partition", "halo_spmv"]
+__all__ = [
+    "HaloPCSR",
+    "halo_partition",
+    "halo_spmv",
+    "HaloPCSROverlap",
+    "halo_partition_overlapped",
+    "halo_spmv_overlapped",
+]
 
 
 @partial(
@@ -154,3 +161,165 @@ def halo_spmv(a: HaloPCSR, v: jax.Array, mesh: Mesh) -> jax.Array:
         out_specs=P(ax),
     )
     return f(a.data, a.indices, a.indptr, a.send_idx, v).reshape(-1)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "int_data", "int_idx", "int_rows",
+        "fr_data", "fr_idx", "fr_rows", "send_idx",
+    ],
+    meta_fields=["shape", "axis", "rows_per_shard", "cols_per_shard", "halo"],
+)
+@dataclasses.dataclass(frozen=True)
+class HaloPCSROverlap:
+    """Row-partitioned CSR split for compute/comm overlap.
+
+    Each shard's entries are split at plan time into *interior* entries
+    (column inside the shard's own operand slab — indexed directly into
+    ``v_local``) and *frontier* entries (remote columns — indexed into the
+    received halo buffer ``src * halo + rank``).  Only frontier columns
+    travel: the all_to_all is issued first, the interior partial SpMV runs
+    while it is in flight (XLA's latency-hiding scheduler overlaps the
+    async collective with the independent interior compute), and the
+    frontier partial sum lands on top.  Unlike :class:`HaloPCSR`, a shard's
+    own columns never round-trip through the exchange, so the collective
+    payload is strictly the remote halo.
+    """
+
+    int_data: jax.Array  # (D, nse_int_p)
+    int_idx: jax.Array   # (D, nse_int_p) local-slab column ids
+    int_rows: jax.Array  # (D, nse_int_p) local row ids (rows_p = padding)
+    fr_data: jax.Array   # (D, nse_fr_p)
+    fr_idx: jax.Array    # (D, nse_fr_p) halo-space ids src * halo + rank
+    fr_rows: jax.Array   # (D, nse_fr_p)
+    send_idx: jax.Array  # (D, D, halo)
+    shape: tuple[int, int]
+    axis: str
+    rows_per_shard: int
+    cols_per_shard: int
+    halo: int
+
+    @property
+    def n_shards(self) -> int:
+        return self.int_data.shape[0]
+
+    @property
+    def comm_entries_per_device(self) -> int:
+        """all_to_all payload per device, in operand entries."""
+        return self.n_shards * self.halo
+
+
+def halo_partition_overlapped(
+    a: CSR, mesh: Mesh, axis: str = "shards"
+) -> HaloPCSROverlap:
+    """Build the interior/frontier split plan (eager, once per pattern+mesh)."""
+    n, m = a.shape
+    d = mesh.shape[axis]
+    rows_p = -(-max(n, 1) // d)
+    cols_p = -(-max(m, 1) // d)
+    indptr = np.asarray(a.indptr)
+    indices = np.asarray(a.indices)
+    data = np.asarray(a.data)
+
+    needed: list[list[np.ndarray]] = []
+    per_int: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    per_fr: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    halo = 1
+    for dst in range(d):
+        lo, hi = min(dst * rows_p, n), min((dst + 1) * rows_p, n)
+        s, e = int(indptr[lo]), int(indptr[hi])
+        cols = indices[s:e]
+        vals = data[s:e]
+        rows = (
+            np.searchsorted(indptr[lo : hi + 1], np.arange(s, e), side="right")
+            - 1
+        )
+        own = (cols >= dst * cols_p) & (cols < (dst + 1) * cols_p)
+        per_int.append((vals[own], cols[own] - dst * cols_p, rows[own]))
+        rcols = cols[~own]
+        per_fr.append((vals[~own], rcols, rows[~own]))
+        uniq = np.unique(rcols)
+        by_src = [
+            np.zeros(0, np.int64) if src == dst
+            else uniq[(uniq >= src * cols_p) & (uniq < (src + 1) * cols_p)]
+            - src * cols_p
+            for src in range(d)
+        ]
+        needed.append(by_src)
+        halo = max(halo, max((b.size for b in by_src), default=0))
+
+    send = np.zeros((d, d, halo), np.int32)
+    fr_remapped: list[np.ndarray] = []
+    for dst in range(d):
+        remap = np.zeros(m + 1, np.int64)
+        for src in range(d):
+            b = needed[dst][src]
+            send[src, dst, : b.size] = b
+            remap[src * cols_p + b] = src * halo + np.arange(b.size)
+        fr_remapped.append(remap[per_fr[dst][1]])
+
+    def pad(parts, idx_parts, row_parts):
+        cap = max(max((p.size for p in parts), default=0), 1)
+        vals = np.zeros((d, cap), data.dtype)
+        idxs = np.zeros((d, cap), np.int32)
+        rows = np.full((d, cap), rows_p, np.int32)  # sentinel -> dropped
+        for i in range(d):
+            k = parts[i].size
+            vals[i, :k] = parts[i]
+            idxs[i, :k] = idx_parts[i]
+            rows[i, :k] = row_parts[i]
+        return vals, idxs, rows
+
+    iv, ii, ir = pad(
+        [p[0] for p in per_int], [p[1] for p in per_int],
+        [p[2] for p in per_int],
+    )
+    fv, fi, fr = pad(
+        [p[0] for p in per_fr], fr_remapped, [p[2] for p in per_fr],
+    )
+    shard = NamedSharding(mesh, P(axis))
+    put = lambda x: jax.device_put(jnp.asarray(x), shard)
+    return HaloPCSROverlap(
+        int_data=put(iv), int_idx=put(ii), int_rows=put(ir),
+        fr_data=put(fv), fr_idx=put(fi), fr_rows=put(fr),
+        send_idx=put(send),
+        shape=(n, m), axis=axis,
+        rows_per_shard=rows_p, cols_per_shard=cols_p, halo=halo,
+    )
+
+
+def halo_spmv_overlapped(
+    a: HaloPCSROverlap, v: jax.Array, mesh: Mesh
+) -> jax.Array:
+    """Distributed SpMV with the halo exchange overlapped with interior
+    compute.  Same calling convention as :func:`halo_spmv`.  The interior
+    partial sum has no data dependency on the collective, so on TPU the
+    async all_to_all flies over ICI while the interior SpMV occupies the
+    core (XLA latency-hiding scheduling); the frontier partial sum closes
+    the row totals afterwards."""
+    ax = a.axis
+    d = a.n_shards
+    H = a.halo
+    rows_p = a.rows_per_shard
+
+    def body(iv, ii, ir, fv, fi, frw, send_idx, v_local):
+        send_buf = v_local[send_idx[0]]  # (D, H)
+        recv = jax.lax.all_to_all(send_buf, ax, split_axis=0, concat_axis=0)
+        # interior partial: independent of recv -> overlaps the collective
+        y = segment_sum(iv[0] * v_local[ii[0]], ir[0], rows_p)
+        v_halo = recv.reshape(d * H)
+        y = y + segment_sum(fv[0] * v_halo[fi[0]], frw[0], rows_p)
+        return y[None]
+
+    f = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(ax),) * 8,
+        out_specs=P(ax),
+    )
+    return f(
+        a.int_data, a.int_idx, a.int_rows,
+        a.fr_data, a.fr_idx, a.fr_rows,
+        a.send_idx, v,
+    ).reshape(-1)

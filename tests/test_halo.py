@@ -65,3 +65,65 @@ def test_halo_under_jit(mesh):
     f = jax.jit(lambda ha, vs: halo_spmv(ha, vs, mesh))
     np.testing.assert_allclose(np.asarray(f(ha, vs))[:40], x @ np.ones(40),
                                rtol=1e-10)
+
+
+def test_halo_overlapped_matches_oracle(mesh):
+    from sparse_tpu.parallel.halo import (
+        halo_partition_overlapped,
+        halo_spmv_overlapped,
+    )
+
+    for n, bw, seed in [(64, 3, 0), (100, 5, 1), (17, 2, 2)]:
+        x = banded(n, bw, seed=seed)
+        a = csr_from_dense(jnp.asarray(x))
+        ha = halo_partition_overlapped(a, mesh)
+        # only frontier columns travel: for a banded matrix the payload is
+        # O(bw), far below a slab broadcast
+        assert ha.halo <= 2 * bw + 1
+        v = jnp.asarray(np.random.default_rng(seed).standard_normal(n))
+        pa = pcsr_from_csr(a, mesh)
+        vs = shard_vector(v, pa, mesh)
+        got = halo_spmv_overlapped(ha, vs, mesh)[:n]
+        np.testing.assert_allclose(
+            np.asarray(got), x @ np.asarray(v), rtol=1e-10, atol=1e-12
+        )
+
+
+def test_halo_overlapped_random_and_jit(mesh):
+    from sparse_tpu.parallel.halo import (
+        halo_partition_overlapped,
+        halo_spmv_overlapped,
+    )
+
+    rng = np.random.default_rng(11)
+    n, m = 48, 72
+    x = rng.standard_normal((n, m)) * (rng.random((n, m)) < 0.3)
+    a = csr_from_dense(jnp.asarray(x))
+    ha = halo_partition_overlapped(a, mesh)
+    v = jnp.asarray(rng.standard_normal(m))
+    vs = shard_vector(v, pcsr_from_csr(a, mesh), mesh)
+    f = jax.jit(lambda h, w: halo_spmv_overlapped(h, w, mesh))
+    got = f(ha, vs)[:n]
+    np.testing.assert_allclose(
+        np.asarray(got), x @ np.asarray(v), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_halo_overlapped_empty_rows_and_uneven(mesh):
+    from sparse_tpu.parallel.halo import (
+        halo_partition_overlapped,
+        halo_spmv_overlapped,
+    )
+
+    # n not divisible by 8 shards + rows with no entries at all
+    n = 21
+    x = np.zeros((n, n))
+    x[0, 20] = 2.0
+    x[13, 0] = -1.5
+    x[20, 20] = 4.0
+    a = csr_from_dense(jnp.asarray(x))
+    ha = halo_partition_overlapped(a, mesh)
+    v = jnp.asarray(np.arange(1.0, n + 1.0))
+    vs = shard_vector(v, pcsr_from_csr(a, mesh), mesh)
+    got = halo_spmv_overlapped(ha, vs, mesh)[:n]
+    np.testing.assert_allclose(np.asarray(got), x @ np.asarray(v))
