@@ -22,4 +22,13 @@ from .pbell import (  # noqa: F401
     pbell_smvm,
     pbell_spmm,
 )
-from .pspgemm import pcsr_spgemm, pcsr_transpose  # noqa: F401
+from .pspgemm import (  # noqa: F401
+    PSpGEMMPlan,
+    PTransposePlan,
+    build_pspgemm_plan,
+    build_transpose_plan,
+    pcsr_spgemm,
+    pcsr_spgemm_aa,
+    pcsr_transpose,
+    pcsr_transpose_device,
+)

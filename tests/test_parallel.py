@@ -247,3 +247,96 @@ def test_bicgstab_nonsymmetric(mesh):
         pa, bv
     )
     np.testing.assert_allclose(np.asarray(sol)[:n], x_true, rtol=1e-6, atol=1e-6)
+
+
+def test_pcsr_spgemm_aa_matches_allgather(mesh):
+    from sparse_tpu.parallel.pspgemm import (
+        build_pspgemm_plan,
+        pcsr_spgemm,
+        pcsr_spgemm_aa,
+    )
+
+    rng = np.random.default_rng(51)
+    n, m, k = 40, 32, 24
+    xa = rng.standard_normal((n, m)) * (rng.random((n, m)) < 0.2)
+    xb = rng.standard_normal((m, k)) * (rng.random((m, k)) < 0.2)
+    pa = pcsr_from_csr(csr_from_dense(jnp.asarray(xa)), mesh)
+    pb = pcsr_from_csr(csr_from_dense(jnp.asarray(xb)), mesh)
+    plan = build_pspgemm_plan(pa, pb, mesh)
+    # the exchange is a strict subset of B: never more than the all-gather
+    assert plan.comm_entries_per_device <= 8 * pb.nse_per_shard
+    pc = pcsr_spgemm_aa(pa, pb, mesh, plan)
+    got = np.asarray(pcsr_todense(pc))
+    np.testing.assert_allclose(got, xa @ xb, rtol=1e-10, atol=1e-12)
+    ref = np.asarray(pcsr_todense(pcsr_spgemm(pa, pb, mesh)))
+    np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_pcsr_spgemm_aa_banded_comm_small(mesh):
+    # banded x banded: each shard needs only O(bw) remote B rows, so the
+    # all-to-all payload must be far below nnz_B
+    from sparse_tpu.parallel.pspgemm import build_pspgemm_plan, pcsr_spgemm_aa
+
+    rng = np.random.default_rng(52)
+    n = 64
+    x = np.zeros((n, n))
+    for off in range(-2, 3):
+        x += np.diag(rng.standard_normal(n - abs(off)), off)
+    pa = pcsr_from_csr(csr_from_dense(jnp.asarray(x)), mesh)
+    plan = build_pspgemm_plan(pa, pa, mesh)
+    # 4x less traffic than the all-gather formulation's 8 * nse_p
+    assert plan.comm_entries_per_device * 4 <= 8 * pa.nse_per_shard
+    pc = pcsr_spgemm_aa(pa, pa, mesh, plan)
+    np.testing.assert_allclose(
+        np.asarray(pcsr_todense(pc)), x @ x, rtol=1e-10, atol=1e-12
+    )
+
+
+def test_pcsr_spgemm_aa_under_jit(mesh):
+    from sparse_tpu.parallel.pspgemm import build_pspgemm_plan, pcsr_spgemm_aa
+
+    rng = np.random.default_rng(53)
+    n, m, k = 24, 40, 16
+    xa = rng.standard_normal((n, m)) * (rng.random((n, m)) < 0.3)
+    xb = rng.standard_normal((m, k)) * (rng.random((m, k)) < 0.3)
+    pa = pcsr_from_csr(csr_from_dense(jnp.asarray(xa)), mesh)
+    pb = pcsr_from_csr(csr_from_dense(jnp.asarray(xb)), mesh)
+    plan = build_pspgemm_plan(pa, pb, mesh)
+    f = jax.jit(lambda a, b, p: pcsr_spgemm_aa(a, b, mesh, p))
+    pc = f(pa, pb, plan)
+    np.testing.assert_allclose(
+        np.asarray(pcsr_todense(pc)), xa @ xb, rtol=1e-10, atol=1e-12
+    )
+
+
+def test_pcsr_transpose_device_matches(mesh):
+    from sparse_tpu.parallel.pspgemm import (
+        build_transpose_plan,
+        pcsr_transpose_device,
+    )
+
+    rng = np.random.default_rng(54)
+    for n, m in [(40, 32), (17, 53), (8, 8)]:
+        x = rng.standard_normal((n, m)) * (rng.random((n, m)) < 0.25)
+        pa = pcsr_from_csr(csr_from_dense(jnp.asarray(x)), mesh)
+        plan = build_transpose_plan(pa, mesh)
+        f = jax.jit(lambda a, p: pcsr_transpose_device(a, mesh, p))
+        pt = f(pa, plan)
+        np.testing.assert_allclose(
+            np.asarray(pcsr_todense(pt)), x.T, rtol=1e-12, atol=1e-14
+        )
+
+
+def test_pcsr_transpose_roundtrip_device(mesh):
+    from sparse_tpu.parallel.pspgemm import (
+        build_transpose_plan,
+        pcsr_transpose_device,
+    )
+
+    rng = np.random.default_rng(55)
+    n, m = 33, 21
+    x = rng.standard_normal((n, m)) * (rng.random((n, m)) < 0.3)
+    pa = pcsr_from_csr(csr_from_dense(jnp.asarray(x)), mesh)
+    pt = pcsr_transpose_device(pa, mesh, build_transpose_plan(pa, mesh))
+    ptt = pcsr_transpose_device(pt, mesh, build_transpose_plan(pt, mesh))
+    np.testing.assert_allclose(np.asarray(pcsr_todense(ptt)), x, rtol=1e-12)
