@@ -255,6 +255,22 @@ def msr_scale(v, a: MSR) -> MSR:
     return dataclasses.replace(a, vals=a.vals * v)
 
 
+# When True, the structure equality check is also emitted as a traced
+# ``checkify.check`` so jit users can functionalize it (wrap the caller in
+# ``jax.experimental.checkify.checkify``) instead of it silently no-opping
+# under tracing.  Toggle via :func:`debug_checks`.
+_DEBUG_CHECKS = False
+
+
+def debug_checks(enable: bool = True) -> None:
+    """Enable/disable traced invariant checks on mono add/sub (SURVEY.md
+    §5.3 debug mode).  With checks enabled, wrap jitted callers in
+    ``checkify.checkify`` to surface violations; eager callers get a plain
+    exception either way."""
+    global _DEBUG_CHECKS
+    _DEBUG_CHECKS = enable
+
+
 def _check_same_structure(a: MSR, b: MSR):
     if a.shape != b.shape:
         raise ValueError(f"shape mismatch: {a.shape} vs {b.shape}")
@@ -262,7 +278,18 @@ def _check_same_structure(a: MSR, b: MSR):
     try:
         same = bool(np.array_equal(np.asarray(ca), np.asarray(cb)))
     except Exception:
-        return  # traced: structure check deferred to the caller (documented)
+        # traced: the concrete check is unavailable.  In debug mode emit a
+        # functionalized check (reference hard-asserts this, mono.fut:141);
+        # otherwise the caller owns the invariant (documented).
+        if _DEBUG_CHECKS:
+            from jax.experimental import checkify
+
+            checkify.check(
+                jnp.all(ca == cb),
+                "mono add/sub requires identical stored structure "
+                "(mono.fut:141)",
+            )
+        return
     if not same:
         raise ValueError(
             "mono add/sub requires identical stored structure (mono.fut:141)"

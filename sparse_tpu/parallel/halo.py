@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..formats.csr import CSR
 from ..ops.segmented import INDEX_DTYPE, row_ids_from_indptr, segment_sum
+from .pcsr import put_sharded
 
 __all__ = [
     "HaloPCSR",
@@ -120,12 +121,11 @@ def halo_partition(a: CSR, mesh: Mesh, axis: str = "shards") -> HaloPCSR:
         idxs[i, : local_idx[i].size] = local_idx[i]
         vals[i, : local_dat[i].size] = local_dat[i]
     ptrs = np.stack(local_ptr).astype(np.int32)
-    shard = NamedSharding(mesh, P(axis))
     return HaloPCSR(
-        data=jax.device_put(jnp.asarray(vals), shard),
-        indices=jax.device_put(jnp.asarray(idxs), shard),
-        indptr=jax.device_put(jnp.asarray(ptrs), shard),
-        send_idx=jax.device_put(jnp.asarray(send), shard),
+        data=put_sharded(vals, mesh, axis),
+        indices=put_sharded(idxs, mesh, axis),
+        indptr=put_sharded(ptrs, mesh, axis),
+        send_idx=put_sharded(send, mesh, axis),
         shape=(n, m),
         axis=axis,
         rows_per_shard=rows_p,
@@ -278,8 +278,7 @@ def halo_partition_overlapped(
     fv, fi, fr = pad(
         [p[0] for p in per_fr], fr_remapped, [p[2] for p in per_fr],
     )
-    shard = NamedSharding(mesh, P(axis))
-    put = lambda x: jax.device_put(jnp.asarray(x), shard)
+    put = lambda x: put_sharded(x, mesh, axis)
     return HaloPCSROverlap(
         int_data=put(iv), int_idx=put(ii), int_rows=put(ir),
         fr_data=put(fv), fr_idx=put(fi), fr_rows=put(fr),

@@ -19,6 +19,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..formats.bell import BELL
+from .pcsr import put_sharded
 
 __all__ = [
     "PBELL",
@@ -69,10 +70,9 @@ def pbell_from_bell(a: BELL, mesh: Mesh, axis: str = "shards") -> PBELL:
         lo, hi = min(i * rows_p, nb), min((i + 1) * rows_p, nb)
         cols[i, : hi - lo] = ac[lo:hi]
         blocks[i, : hi - lo] = ab[lo:hi]
-    shard = NamedSharding(mesh, P(axis))
     return PBELL(
-        cols=jax.device_put(jnp.asarray(cols), shard),
-        blocks=jax.device_put(jnp.asarray(blocks), shard),
+        cols=put_sharded(cols, mesh, axis),
+        blocks=put_sharded(blocks, mesh, axis),
         n=a.n,
         bsz=a.bsz,
         axis=axis,
@@ -89,7 +89,7 @@ def pbell_shard_vector(v: jax.Array, a: PBELL, mesh: Mesh) -> jax.Array:
     pad = total - v.shape[0]
     if pad:
         v = jnp.concatenate([v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
-    return jax.device_put(v, NamedSharding(mesh, P(a.axis)))
+    return put_sharded(v, mesh, a.axis)
 
 
 def pbell_smvm(a: PBELL, v: jax.Array, mesh: Mesh) -> jax.Array:

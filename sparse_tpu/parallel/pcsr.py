@@ -56,6 +56,32 @@ def make_1d_mesh(n_devices: int | None = None, axis: str = "shards") -> Mesh:
     return Mesh(np.asarray(devs[:n_devices]), (axis,))
 
 
+def put_sharded(x, mesh: Mesh, axis: str):
+    """Shard a host-global array over ``mesh``'s ``axis`` (leading dim).
+
+    Single-process: a plain ``device_put``.  Multi-process (after
+    ``jax.distributed.initialize``): every process passes the same global
+    host array and contributes only the leading-axis rows its local devices
+    own via ``jax.make_array_from_process_local_data`` — this is what makes
+    the whole ``parallel/`` layer run unchanged on multi-host meshes (DCN);
+    exercised by tests/test_multiprocess.py on a 2-process CPU simulation.
+    """
+    sharding = NamedSharding(mesh, P(axis))
+    x = jnp.asarray(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    xs = np.asarray(x)
+    d = mesh.shape[axis]
+    per = xs.shape[0] // d
+    pid = jax.process_index()
+    rows = [
+        i for i, dev in enumerate(mesh.devices.reshape(-1))
+        if dev.process_index == pid
+    ]
+    local = np.concatenate([xs[r * per : (r + 1) * per] for r in rows])
+    return jax.make_array_from_process_local_data(sharding, local, xs.shape)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["data", "indices", "indptr"],
@@ -114,11 +140,10 @@ def pcsr_from_csr(a: CSR, mesh: Mesh, axis: str = "shards") -> PCSR:
     for i, (_, ix, vl) in enumerate(slabs):
         idxs[i, : ix.size] = ix
         vals[i, : vl.size] = vl
-    shard = NamedSharding(mesh, P(axis))
     return PCSR(
-        data=jax.device_put(jnp.asarray(vals), shard),
-        indices=jax.device_put(jnp.asarray(idxs), shard),
-        indptr=jax.device_put(jnp.asarray(ptrs), shard),
+        data=put_sharded(vals, mesh, axis),
+        indices=put_sharded(idxs, mesh, axis),
+        indptr=put_sharded(ptrs, mesh, axis),
         shape=(n, m),
         axis=axis,
         rows_per_shard=rows_p,
@@ -187,7 +212,7 @@ def shard_vector(v: jax.Array, a: PCSR, mesh: Mesh) -> jax.Array:
     pad = total - v.shape[0]
     if pad:
         v = jnp.concatenate([v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
-    return jax.device_put(v, NamedSharding(mesh, P(a.axis)))
+    return put_sharded(v, mesh, a.axis)
 
 
 def pcsr_todense(a: PCSR) -> jax.Array:

@@ -27,7 +27,7 @@ from ..formats.coo import COO
 from ..formats.csr import CSR, csr_from_coo
 from ..ops.segmented import INDEX_DTYPE
 from ..ops.spgemm import spgemm_products
-from .pcsr import PCSR, pcsr_from_csr
+from .pcsr import PCSR, pcsr_from_csr, put_sharded
 
 __all__ = [
     "pcsr_spgemm",
@@ -248,8 +248,7 @@ def build_pspgemm_plan(a: PCSR, b: PCSR, mesh: Mesh) -> PSpGEMMPlan:
             starts[t, r] = d * exch + int(b_ptrs[t][lr])
             lens[t, r] = int(b_lens_global[r])
 
-    shard = NamedSharding(mesh, P(a.axis))
-    put = lambda x: jax.device_put(jnp.asarray(x), shard)
+    put = lambda x: put_sharded(x, mesh, a.axis)
     return PSpGEMMPlan(
         send_pos=put(send_pos),
         bi_gath=put(bi_gath),
@@ -399,8 +398,7 @@ def build_transpose_plan(a: PCSR, mesh: Mesh) -> PTransposePlan:
         cnt = np.bincount(rT, minlength=rows_pT)
         indptr[t, 1:] = np.cumsum(cnt)
 
-    shard = NamedSharding(mesh, P(a.axis))
-    put = lambda x: jax.device_put(jnp.asarray(x), shard)
+    put = lambda x: put_sharded(x, mesh, a.axis)
     return PTransposePlan(
         send_pos=put(send_pos),
         perm=put(perm),

@@ -128,3 +128,28 @@ def test_mono_jit():
         return mono.msr_smvm(mono.msr_scale(2.0, a), v)
 
     np.testing.assert_array_equal(np.asarray(f(A, v)), [40.0, 180.0])
+
+
+def test_msr_add_traced_mismatch_caught_in_debug_mode():
+    # under jit the host structure check cannot run; debug mode turns it
+    # into a checkify check so the mismatch surfaces instead of silently
+    # corrupting (reference hard-asserts: mono.fut:141)
+    from jax.experimental import checkify
+
+    from sparse_tpu.formats import mono as mono_mod
+    from sparse_tpu.formats.mono import msr_add, msr_from_triples
+
+    a = msr_from_triples(3, 3, [(0, 0, 1.0), (1, 2, 2.0)])
+    b = msr_from_triples(3, 3, [(0, 1, 1.0), (1, 2, 2.0)])  # different cols
+    mono_mod.debug_checks(True)
+    try:
+        f = checkify.checkify(jax.jit(msr_add))
+        err, _ = f(a, b)
+        with pytest.raises(checkify.JaxRuntimeError):
+            err.throw()
+        # matching structure passes clean
+        err2, out = f(a, a)
+        err2.throw()
+        np.testing.assert_allclose(np.asarray(out.vals), np.asarray(a.vals) * 2)
+    finally:
+        mono_mod.debug_checks(False)
