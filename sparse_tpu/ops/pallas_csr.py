@@ -1,0 +1,306 @@
+"""Pallas unstructured CSR SpMV: VMEM-resident operand + sublane gather.
+
+The reference's ``smvm`` hot loop is one scalar gather + FMA per stored
+entry (``v[col_idx[...]]``, compressed.fut:134-146).  XLA executes scalar
+gathers from HBM at ~7 ns each (~0.14 Gnnz/s, docs/performance.md) — far
+from roofline.  This kernel keeps the WHOLE operand vector *and* the whole
+output resident in VMEM and turns the per-entry gather into one Mosaic
+``tpu.dynamic_gather`` (``jnp.take_along_axis`` along sublanes) per 1024
+entries:
+
+* nnz are tiled host-side by ``(8-row block, 1024-column window)``
+  (:func:`build_seg_tiles`).  Windows are lane-aligned (multiples of 128)
+  but start at each row block's first column, so banded/clustered patterns
+  get dense tiles.  Within a tile, the entry for column ``c`` sits at lane
+  ``c % 128`` carrying a sublane pointer ``q = c//128 - window_base`` in
+  [0, 8); the gathered value at lane ``l`` is ``window[q[i, l], l]``.
+* Tiles stream ``vals``/``q`` in (8, 128) blocks, ``_K`` tiles per grid
+  step; the operand window is a dynamic 8-sublane slice of the resident
+  vector; products lane-reduce to the 8 row sums, accumulated straight
+  into the VMEM-resident output — no scatter, no output windows.
+* Lane conflicts (two entries of one row with equal ``c % 128`` inside the
+  same window) spill into extra tiles for the same (row block, window).
+
+Cost: ~3 VPU ops per 8 slots and 5 B/slot of HBM traffic, paying only the
+tile fill ratio (pattern-dependent, reported as ``plan.fill``) over the
+ideal 4 B/nnz — vs 7 ns/nnz flat for XLA.  The plan (:class:`SegTilePlan`)
+is static per pattern; apply is fully jit-compatible.  Capacity: operand +
+output must fit VMEM (n + m <= ~2M f32); larger problems fall back to the
+XLA path in :func:`csr_smvm_auto`, as do patterns whose fill is so low
+that tile streaming would lose to scalar gathers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats.csr import CSR
+
+__all__ = [
+    "SegTilePlan",
+    "build_seg_tiles",
+    "csr_smvm_segtile",
+    "csr_smvm_auto",
+]
+
+_LANES = 128
+_TILE_CAP = 100_000  # tiles per pallas_call (SMEM prefetch budget: 2 tables)
+_K = 64  # tiles per grid step (amortize the ~1 us per-step floor)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["vals", "q", "seg_of", "rb"],
+    meta_fields=["n", "m", "n_tiles", "fill", "chunks"],
+)
+@dataclasses.dataclass(frozen=True)
+class SegTilePlan:
+    """Static segment-tile layout of a CSR pattern (+ values).
+
+    ``vals``: (n_tiles, 8, 128) slot values; ``q``: int8 sublane pointers;
+    ``seg_of``: (n_tiles,) window base sublane into the resident operand;
+    ``rb``: (n_tiles,) global output row block; ``chunks``: static
+    (group0, group1) ranges per pallas_call (SMEM prefetch budget).
+    ``fill`` is the nnz / slot occupancy ratio (diagnostic + dispatch)."""
+
+    vals: jax.Array
+    q: jax.Array
+    seg_of: jax.Array
+    rb: jax.Array
+    n: int
+    m: int
+    n_tiles: int
+    fill: float
+    chunks: tuple
+
+
+def build_seg_tiles(a: CSR) -> SegTilePlan:
+    """Host-side tiling of a CSR matrix (eager, once per pattern+values).
+
+    Entries of each 8-row block are bucketed by 1024-column window anchored
+    at the block's first column (lane-aligned); within a bucket, entry
+    (r, c) occupies slot (r % 8, c % 128) of the bucket's current tile,
+    spilling to a fresh tile when the slot is taken (same row+lane,
+    different sublane) — the sum over spill tiles restores the exact
+    per-row total.  The tile count is padded to a multiple of ``_K`` with
+    inert zero tiles.  The padded slot arrays are assembled on device (one
+    scatter) — shipping them pre-built from the host costs ~30x more
+    transfer.
+    """
+    n, m = a.shape
+    indptr = np.asarray(a.indptr)
+    cols = np.asarray(a.indices).astype(np.int64)
+    vals = np.asarray(a.data)
+    nnz = int(indptr[-1])
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    cols = cols[:nnz]
+    vals = vals[:nnz]
+    rb = rows >> 3
+
+    # window anchor: each row block's first (lane-aligned) column
+    nb8 = -(-max(n, 1) // 8)
+    minc = np.full(nb8, np.iinfo(np.int64).max)
+    np.minimum.at(minc, rb, cols)
+    anchor_sub = np.where(minc == np.iinfo(np.int64).max, 0, minc >> 7)
+    win = ((cols >> 7) - anchor_sub[rb]) >> 3  # 1024-col window index
+    base = anchor_sub[rb] + win * 8  # window base sublane
+    sub = (cols >> 7) - base  # in [0, 8)
+    lane = cols & (_LANES - 1)
+
+    order = np.lexsort((sub, lane, rows, win, rb))
+    rb_o, win_o, lane_o = rb[order], win[order], lane[order]
+    rows_o, vals_o, sub_o = rows[order], vals[order], sub[order]
+    base_o = base[order]
+    ri = rows_o & 7
+
+    # spill tiers: k-th entry of a (rb, win, row, lane) group -> tile k
+    ne = rb_o.size
+    if ne:
+        grp = np.empty(ne, np.bool_)
+        grp[0] = True
+        grp[1:] = (
+            (rb_o[1:] != rb_o[:-1]) | (win_o[1:] != win_o[:-1])
+            | (rows_o[1:] != rows_o[:-1]) | (lane_o[1:] != lane_o[:-1])
+        )
+        tier = np.arange(ne) - np.maximum.accumulate(
+            np.where(grp, np.arange(ne), -1)
+        )
+        # number tiles in (rb, win, tier) order
+        order2 = np.lexsort((tier, win_o, rb_o))
+        key_change = np.empty(ne, np.bool_)
+        key_change[0] = True
+        key_change[1:] = (
+            (rb_o[order2][1:] != rb_o[order2][:-1])
+            | (win_o[order2][1:] != win_o[order2][:-1])
+            | (tier[order2][1:] != tier[order2][:-1])
+        )
+        tile_id_sorted = np.cumsum(key_change) - 1
+        tile_of = np.empty(ne, np.int64)
+        tile_of[order2] = tile_id_sorted
+        n_real = int(tile_id_sorted[-1]) + 1
+        t_base = np.zeros(n_real, np.int64)
+        t_rb = np.zeros(n_real, np.int64)
+        t_base[tile_of] = base_o
+        t_rb[tile_of] = rb_o
+    else:
+        n_real = 0
+        tile_of = np.zeros(0, np.int64)
+        t_base = np.zeros(0, np.int64)
+        t_rb = np.zeros(0, np.int64)
+
+    n_tiles = max(-(-max(n_real, 1) // _K) * _K, _K)
+    seg_of = np.zeros(n_tiles, np.int32)
+    t_rb_pad = np.zeros(n_tiles, np.int32)
+    seg_of[:n_real] = t_base
+    t_rb_pad[:n_real] = t_rb
+
+    # chunk the grid so per-call SMEM tables stay within budget
+    n_groups = n_tiles // _K
+    cap_groups = max(_TILE_CAP // _K, 1)
+    chunks = tuple(
+        (g0, min(g0 + cap_groups, n_groups))
+        for g0 in range(0, n_groups, cap_groups)
+    )
+
+    # device-side assembly of the padded slot arrays (one scatter)
+    dev_tile = jnp.asarray(tile_of, dtype=jnp.int32)
+    dev_ri = jnp.asarray(ri, dtype=jnp.int32)
+    dev_lane = jnp.asarray(lane_o, dtype=jnp.int32)
+    tvals = jnp.zeros((n_tiles, 8, _LANES), a.dtype).at[
+        dev_tile, dev_ri, dev_lane
+    ].set(jnp.asarray(vals_o))
+    tq = jnp.zeros((n_tiles, 8, _LANES), jnp.int8).at[
+        dev_tile, dev_ri, dev_lane
+    ].set(jnp.asarray(sub_o, dtype=jnp.int8))
+    return SegTilePlan(
+        vals=tvals,
+        q=tq,
+        seg_of=jnp.asarray(seg_of),
+        rb=jnp.asarray(t_rb_pad),
+        n=n,
+        m=m,
+        n_tiles=n_tiles,
+        fill=nnz / max(n_tiles * 8 * _LANES, 1),
+        chunks=chunks,
+    )
+
+
+def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
+                     *, interpret: bool = False) -> jax.Array:
+    """SpMV via the segment-tile kernel; matches ``csr_smvm`` up to float
+    summation order.  ``plan`` from :func:`build_seg_tiles` (value-bound:
+    rebuild after updating ``a.data``)."""
+    v = jnp.asarray(v)
+    n, m = a.shape
+    if v.shape != (m,):
+        raise ValueError(f"csr_smvm_segtile: vector shape {v.shape} != ({m},)")
+    out_dtype = jnp.result_type(a.dtype, v.dtype)
+    if n == 0:
+        return jnp.zeros((0,), out_dtype)
+    # resident operand: whole vector as sublane rows, +8 zero rows so any
+    # in-range window base reads without clamping
+    s_rows = -(-max(m, 1) // _LANES) + 8
+    v2 = jnp.zeros((s_rows, _LANES), out_dtype)
+    v2 = jax.lax.dynamic_update_slice(
+        v2.reshape(-1), v.astype(out_dtype), (0,)
+    ).reshape(s_rows, _LANES)
+    nb8 = -(-n // 8)
+
+    # Measured variants at 10M nnz band (v5e, chained): per-tile reduce+RMW
+    # as below: 13.9 ms; q packed into (32,128) int8 native tiles: 14.8 ms;
+    # scratch accumulator drained once per row-block run (per-tile
+    # conditionals): 20.0 ms — the conditionals defeat Mosaic pipelining.
+    def kernel(seg_of, rb, vals_ref, q_ref, v_ref, o_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        for j in range(_K):
+            t = g * _K + j
+            seg = v_ref[pl.ds(seg_of[t], 8), :]
+            gx = jnp.take_along_axis(seg, q_ref[j].astype(jnp.int32), axis=0)
+            acc = jnp.sum(vals_ref[j] * gx, axis=1)  # (8,)
+            o_ref[pl.ds(rb[t], 1)] += acc[None]
+
+    pieces = []
+    vals_all = plan.vals.astype(out_dtype)
+    for (g0, g1) in plan.chunks:
+        ng = g1 - g0
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(ng,),
+            in_specs=[
+                pl.BlockSpec((_K, 8, _LANES), lambda g, so, rbl: (g, 0, 0)),
+                pl.BlockSpec((_K, 8, _LANES), lambda g, so, rbl: (g, 0, 0)),
+                pl.BlockSpec(v2.shape, lambda g, so, rbl: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((nb8, 8), lambda g, so, rbl: (0, 0)),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb8, 8), out_dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * ng * _K * 8 * _LANES,
+                bytes_accessed=ng * _K * 8 * _LANES * 5 + m * 4 + nb8 * 32,
+                transcendentals=0,
+            ),
+            # the resident output + per-tile RMW temporaries exceed the
+            # 16 MB default scoped-vmem budget at bench sizes; v5e has 128 MB
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(
+            jax.lax.dynamic_slice(plan.seg_of, (g0 * _K,), (ng * _K,)),
+            jax.lax.dynamic_slice(plan.rb, (g0 * _K,), (ng * _K,)),
+            jax.lax.dynamic_slice(
+                vals_all, (g0 * _K, 0, 0), (ng * _K, 8, _LANES)
+            ),
+            jax.lax.dynamic_slice(
+                plan.q, (g0 * _K, 0, 0), (ng * _K, 8, _LANES)
+            ),
+            v2,
+        )
+        pieces.append(out)
+    y = pieces[0]
+    for p in pieces[1:]:
+        y = y + p
+    return y.reshape(nb8 * 8)[:n]
+
+
+# resident budget: operand (m) + output (n) f32 rows in VMEM; keep the two
+# well under ~16 MB.  Below _MIN_FILL the slot stream costs more than XLA's
+# flat 7 ns/nnz scalar-gather rate (5 B/slot at ~100 GB/s vs 7 ns * fill).
+_MAX_RESIDENT = 2_000_000
+_MIN_FILL = 0.007
+
+
+def csr_smvm_auto(a: CSR, v: jax.Array,
+                  plan: SegTilePlan | None = None) -> jax.Array:
+    """Unstructured SpMV dispatch: the Pallas segment-tile kernel on TPU
+    (operand + output fit VMEM, fill high enough; plan built eagerly when
+    not supplied), otherwise the XLA row-binned ELL path."""
+    from .spmv import csr_smvm_fast
+
+    if (
+        jax.default_backend() == "tpu"
+        and a.shape[0] + a.shape[1] <= _MAX_RESIDENT
+    ):
+        if plan is None:
+            try:
+                plan = build_seg_tiles(a)
+            except jax.errors.TracerArrayConversionError:
+                plan = None  # inside jit without a plan: use the XLA path
+        if plan is not None and plan.fill >= _MIN_FILL:
+            return csr_smvm_segtile(a, v, plan)
+    return csr_smvm_fast(a, v)
