@@ -242,16 +242,93 @@ def _check_same(a: Triangular, b: Triangular, op: str) -> None:
 # -- matmul --------------------------------------------------------------------
 
 
+# below this size, densify -> one MXU matmul wins outright (2x transient
+# memory, zero bookkeeping); above it the blocked packed path keeps the
+# packed format's memory edge.  46340 caps the int32 packed-index math
+# (n(n+1)/2 < 2^31), same guard as BSR's flattened block coords.
+_TRI_DENSE_MAX = 4096
+_TRI_BLOCK = 512
+_TRI_N_MAX = 46340
+
+
+def _tri_block(data: jax.Array, n: int, bi, bj, B: int,
+               out_dtype) -> jax.Array:
+    """(B, B) dense block (rows bi*B.., cols bj*B..) of a packed-lower
+    matrix: one row-granule gather + triangle mask."""
+    r = bi * B + jnp.arange(B, dtype=INDEX_DTYPE)
+    c = bj * B + jnp.arange(B, dtype=INDEX_DTYPE)
+    idx = (r * (r + 1) // 2)[:, None] + c[None, :]
+    valid = (c[None, :] <= r[:, None]) & (r[:, None] < n)
+    vals = data[jnp.minimum(idx, data.shape[0] - 1)].astype(out_dtype)
+    return jnp.where(valid, vals, jnp.zeros((), out_dtype))
+
+
+def _tri_smm_blocked(ad: jax.Array, bd: jax.Array, n: int, out_dtype,
+                     B: int) -> jax.Array:
+    """Packed-lower x packed-lower -> packed-lower without densifying:
+    C_ij = sum_{k=j..i} A_ik @ B_kj over B-sized blocks.  Peak memory is the
+    packed output (as block tiles) + O(B^2), preserving the format's 2x
+    edge; every multiply is a (B, B) MXU matmul."""
+    nb = -(-n // B)
+    npairs = nb * (nb + 1) // 2
+    out = jnp.zeros((npairs, B, B), out_dtype)
+
+    def pair_body(p, out):
+        bi = _unrank_rows(jnp.asarray(p, INDEX_DTYPE))
+        bj = p - bi * (bi + 1) // 2
+
+        def inner(bk, acc):
+            ab = _tri_block(ad, n, bi, bk, B, out_dtype)
+            bb = _tri_block(bd, n, bk, bj, B, out_dtype)
+            return acc + jnp.matmul(ab, bb, preferred_element_type=out_dtype)
+
+        acc = jax.lax.fori_loop(
+            bj, bi + 1, inner, jnp.zeros((B, B), out_dtype)
+        )
+        return out.at[p].set(acc)
+
+    out = jax.lax.fori_loop(0, npairs, pair_body, out)
+
+    # repack: packed slot p = (r, c) lives in block pair (r//B, c//B) at
+    # in-block offset (r%B, c%B) — one flat gather from the block tiles
+    P = tri_elements(n)
+    pos = jnp.arange(P, dtype=INDEX_DTYPE)
+    r = _unrank_rows(pos)
+    c = pos - r * (r + 1) // 2
+    pr, pc = r // B, c // B
+    flat = (
+        (pr * (pr + 1) // 2 + pc) * (B * B) + (r % B) * B + (c % B)
+    )
+    return out.reshape(-1)[flat]
+
+
 def tri_smm(a: Triangular, b: Triangular) -> Triangular:
     """Triangular x triangular matrix multiply (reference ``smm``,
     triangular.fut:104-112 and the upper-via-transpose duality at :204).
 
-    TPU-first algorithm: densify -> MXU matmul -> re-pack.  Exact, because the
-    product of two same-orientation triangles is a triangle of the same
-    orientation.
+    TPU-first algorithm: for n <= 4096, densify -> MXU matmul -> re-pack
+    (exact: the product of two same-orientation triangles has the same
+    orientation).  Larger matrices switch to a blocked packed kernel that
+    never materializes the dense square, so the packed format's 2x memory
+    edge survives at scale; both paths feed the MXU.
     """
     _check_same(a, b, "smm")
     out_dtype = jnp.result_type(a.dtype, b.dtype)
+    n = a.n
+    if n > _TRI_DENSE_MAX:
+        if n > _TRI_N_MAX:
+            raise ValueError(
+                f"tri_smm: n={n} exceeds the int32 packed-index cap "
+                f"{_TRI_N_MAX}"
+            )
+        # upper storage is the packed-lower of the transpose; (AB)^T = B^T A^T
+        # means swapping operands computes the upper product in lower space
+        ad, bd = (a.data, b.data) if a.lower else (b.data, a.data)
+        data = _tri_smm_blocked(
+            ad.astype(out_dtype), bd.astype(out_dtype), n, out_dtype,
+            _TRI_BLOCK,
+        )
+        return Triangular(data=data, n=n, lower=a.lower)
     da = tri_todense(a).astype(out_dtype)
     db = tri_todense(b).astype(out_dtype)
     dc = jnp.matmul(da, db, preferred_element_type=out_dtype)

@@ -193,3 +193,54 @@ def test_unrank_large():
     rows = np.asarray(_unrank_rows(p))
     for pi, ri in zip(np.asarray(p), rows):
         assert ri * (ri + 1) // 2 <= pi < (ri + 1) * (ri + 2) // 2
+
+
+def test_tri_smm_blocked_matches_densify():
+    # force the blocked packed path at a small size and check it against
+    # the densify path and the dense oracle, both orientations
+    from sparse_tpu.formats import triangular as tri_mod
+
+    rng = np.random.default_rng(9)
+    n = 333
+    for lower in (True, False):
+        x = np.tril(rng.standard_normal((n, n)))
+        if not lower:
+            x = x.T
+        y = np.tril(rng.standard_normal((n, n)))
+        if not lower:
+            y = y.T
+        a = tri_mod.tri_from_dense(jnp.asarray(x, jnp.float32), lower=lower)
+        b = tri_mod.tri_from_dense(jnp.asarray(y, jnp.float32), lower=lower)
+        dense_ref = tri_mod.tri_todense(tri_mod.tri_smm(a, b))
+        ad, bd = (a.data, b.data) if lower else (b.data, a.data)
+        blocked = tri_mod._tri_smm_blocked(
+            ad, bd, n, jnp.float32, B=64
+        )
+        c_blocked = tri_mod.Triangular(data=blocked, n=n, lower=lower)
+        np.testing.assert_allclose(
+            np.asarray(tri_mod.tri_todense(c_blocked)),
+            np.asarray(dense_ref),
+            rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dense_ref), x @ y, rtol=2e-4, atol=2e-4
+        )
+
+
+def test_tri_smm_large_dispatches_blocked(monkeypatch):
+    # shrink the dispatch threshold so the public entry point exercises the
+    # blocked path end-to-end
+    from sparse_tpu.formats import triangular as tri_mod
+
+    monkeypatch.setattr(tri_mod, "_TRI_DENSE_MAX", 100)
+    monkeypatch.setattr(tri_mod, "_TRI_BLOCK", 64)
+    rng = np.random.default_rng(10)
+    n = 150
+    x = np.tril(rng.standard_normal((n, n)))
+    y = np.tril(rng.standard_normal((n, n)))
+    a = tri_mod.tri_from_dense(jnp.asarray(x, jnp.float32), lower=True)
+    b = tri_mod.tri_from_dense(jnp.asarray(y, jnp.float32), lower=True)
+    c = tri_mod.tri_smm(a, b)
+    np.testing.assert_allclose(
+        np.asarray(tri_mod.tri_todense(c)), x @ y, rtol=2e-4, atol=2e-4
+    )
