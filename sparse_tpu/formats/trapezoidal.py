@@ -17,7 +17,10 @@ trapezoidal.fut:175-184), making ``transpose`` O(1) — flip the flag
 As with the triangular format, ``smm`` departs from the reference's
 ``expand_outer_reduce`` of packed gathers (trapezoidal.fut:133-145): we
 densify, run one MXU matmul, and re-pack.  Exact — the product of two lower
-(upper) trapezoids is a lower (upper) trapezoid.
+(upper) trapezoids is a lower (upper) trapezoid.  Above ``_TRAP_DENSE_MAX``
+on any dimension, a blocked kernel multiplies (B, B) tiles gathered straight
+from packed storage instead, so peak memory stays at packed size (the same
+large-``n`` treatment ``tri_smm`` gets).
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.segmented import INDEX_DTYPE
 from .triangular import _unrank_rows
@@ -241,18 +245,117 @@ def _check_same(a: Trapezoidal, b: Trapezoidal, op: str) -> None:
 # -- matmul --------------------------------------------------------------------
 
 
+# same size policy as tri_smm (triangular.py): below the threshold one dense
+# MXU matmul wins outright; above it the blocked packed path keeps the packed
+# format's memory edge.  The int32 cap bounds every packed index computed in
+# the blocked kernel.
+_TRAP_DENSE_MAX = 4096
+_TRAP_BLOCK = 512
+
+
+def _trap_block(data: jax.Array, n: int, m: int, bi, bj, B: int,
+                out_dtype) -> jax.Array:
+    """(B, B) dense block (rows bi*B.., cols bj*B..) of a lower-packed
+    (n, m) trapezoid: one row-granule gather + region mask."""
+    k = min(n, m)
+    e = k * (k + 1) // 2
+    r = bi * B + jnp.arange(B, dtype=INDEX_DTYPE)
+    c = bj * B + jnp.arange(B, dtype=INDEX_DTYPE)
+    off = jnp.where(r < k, r * (r + 1) // 2, e + (jnp.maximum(r, k) - k) * m)
+    idx = off[:, None] + c[None, :]
+    valid = (c[None, :] <= r[:, None]) & (c[None, :] < m) & (r[:, None] < n)
+    vals = data[jnp.minimum(idx, data.shape[0] - 1)].astype(out_dtype)
+    return jnp.where(valid, vals, jnp.zeros((), out_dtype))
+
+
+def _trap_smm_blocked(ad: jax.Array, bd: jax.Array, n: int, m: int, k: int,
+                      out_dtype, B: int) -> jax.Array:
+    """Lower-packed (n,m) x lower-packed (m,k) -> lower-packed (n,k) without
+    densifying: C_ij = sum_{t=j..min(i, mb-1)} A_it @ B_tj over B-sized
+    blocks.  Peak memory is the packed output (as block tiles) + O(B^2);
+    every multiply is a (B, B) MXU matmul."""
+    nb, mb, kb = -(-n // B), -(-m // B), -(-k // B)
+    kkb = min(nb, kb)
+    eb = kkb * (kkb + 1) // 2
+    npairs = trap_elements(nb, kb)
+    out = jnp.zeros((npairs, B, B), out_dtype)
+
+    def pair_body(p, out):
+        p = jnp.asarray(p, INDEX_DTYPE)
+        tri_bi = _unrank_rows(p)
+        in_tri = p < eb
+        bi = jnp.where(in_tri, tri_bi, kkb + (p - eb) // max(kb, 1))
+        bj = jnp.where(in_tri, p - tri_bi * (tri_bi + 1) // 2,
+                       (p - eb) % max(kb, 1))
+
+        def inner(bt, acc):
+            ab = _trap_block(ad, n, m, bi, bt, B, out_dtype)
+            bb = _trap_block(bd, m, k, bt, bj, B, out_dtype)
+            return acc + jnp.matmul(ab, bb, preferred_element_type=out_dtype)
+
+        acc = jax.lax.fori_loop(
+            bj, jnp.minimum(bi + 1, mb), inner, jnp.zeros((B, B), out_dtype)
+        )
+        return out.at[p].set(acc)
+
+    out = jax.lax.fori_loop(0, npairs, pair_body, out)
+
+    # repack: output slot p = (r, c) lives in block pair (r//B, c//B) at
+    # in-block offset (r%B, c%B) — one flat gather from the block tiles
+    kk = min(n, k)
+    e = kk * (kk + 1) // 2
+    P = trap_elements(n, k)
+    pos = jnp.arange(P, dtype=INDEX_DTYPE)
+    tri_r = _unrank_rows(pos)
+    in_tri = pos < e
+    r = jnp.where(in_tri, tri_r, kk + (pos - e) // max(k, 1))
+    c = jnp.where(in_tri, pos - tri_r * (tri_r + 1) // 2,
+                  (pos - e) % max(k, 1))
+    pr, pc = r // B, c // B
+    pb = jnp.where(pr < kkb, pr * (pr + 1) // 2 + pc,
+                   eb + (jnp.maximum(pr, kkb) - kkb) * kb + pc)
+    flat = pb * (B * B) + (r % B) * B + (c % B)
+    return out.reshape(-1)[flat]
+
+
 def trap_smm(a: Trapezoidal, b: Trapezoidal) -> Trapezoidal:
     """Trapezoid x trapezoid multiply: (n,m) @ (m,k) -> (n,k) (reference
     ``smm``, trapezoidal.fut:133-145; upper duality at :231).
 
-    Densify -> MXU matmul -> re-pack; exact because same-orientation
-    trapezoid products stay trapezoidal.
+    For small sizes: densify -> MXU matmul -> re-pack (exact because
+    same-orientation trapezoid products stay trapezoidal).  Above
+    ``_TRAP_DENSE_MAX`` on any dimension, a blocked kernel multiplies
+    (512, 512) tiles gathered straight from packed storage, so the packed
+    format's memory edge survives at scale; both paths feed the MXU.
     """
     if a.lower != b.lower:
         raise ValueError("trap_smm: cannot mix lower and upper trapezoids")
     if a.m != b.n:
         raise ValueError(f"trap_smm: inner dims {a.shape} @ {b.shape}")
     out_dtype = jnp.result_type(a.dtype, b.dtype)
+    n, m, k = a.n, a.m, b.m
+    if max(n, m, k) > _TRAP_DENSE_MAX:
+        imax = np.iinfo(np.int32).max
+        if max(trap_elements(n, m), trap_elements(m, k),
+               trap_elements(n, k)) > imax:
+            raise ValueError(
+                f"trap_smm: packed size of {a.shape} @ {b.shape} exceeds "
+                "the int32 packed-index cap"
+            )
+        if a.lower:
+            # both operands already in lower-packed storage with these dims
+            data = _trap_smm_blocked(
+                a.data.astype(out_dtype), b.data.astype(out_dtype),
+                n, m, k, out_dtype, _TRAP_BLOCK,
+            )
+        else:
+            # upper storage is the lower packing of the transpose;
+            # (AB)^T = B^T A^T computes the upper product in lower space
+            data = _trap_smm_blocked(
+                b.data.astype(out_dtype), a.data.astype(out_dtype),
+                k, m, n, out_dtype, _TRAP_BLOCK,
+            )
+        return Trapezoidal(data=data, n=n, m=k, lower=a.lower)
     da = trap_todense(a).astype(out_dtype)
     db = trap_todense(b).astype(out_dtype)
     dc = jnp.matmul(da, db, preferred_element_type=out_dtype)

@@ -169,16 +169,28 @@ def build_seg_tiles(a: CSR) -> SegTilePlan:
         for g0 in range(0, n_groups, cap_groups)
     )
 
-    # device-side assembly of the padded slot arrays (one scatter)
-    dev_tile = jnp.asarray(tile_of, dtype=jnp.int32)
-    dev_ri = jnp.asarray(ri, dtype=jnp.int32)
-    dev_lane = jnp.asarray(lane_o, dtype=jnp.int32)
-    tvals = jnp.zeros((n_tiles, 8, _LANES), a.dtype).at[
-        dev_tile, dev_ri, dev_lane
-    ].set(jnp.asarray(vals_o))
-    tq = jnp.zeros((n_tiles, 8, _LANES), jnp.int8).at[
-        dev_tile, dev_ri, dev_lane
-    ].set(jnp.asarray(sub_o, dtype=jnp.int8))
+    # device-side assembly of the padded slot arrays: ship ONE flat int32
+    # slot position per entry (9 B/nnz total vs 17 B/nnz for 3-D coords)
+    # and scatter 1-D; slot positions are unique by construction, which
+    # lets XLA skip the collision-safe serialized scatter path.
+    if n_tiles * 8 * _LANES > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"build_seg_tiles: {n_tiles} tiles overflows int32 slot "
+            "positions (8 GB of slot storage — use the XLA path)"
+        )
+    pos = jnp.asarray(
+        (tile_of * (8 * _LANES) + ri * _LANES + lane_o).astype(np.int32)
+    )
+    tvals = (
+        jnp.zeros((n_tiles * 8 * _LANES,), a.dtype)
+        .at[pos].set(jnp.asarray(vals_o), unique_indices=True)
+        .reshape(n_tiles, 8, _LANES)
+    )
+    tq = (
+        jnp.zeros((n_tiles * 8 * _LANES,), jnp.int8)
+        .at[pos].set(jnp.asarray(sub_o, dtype=jnp.int8), unique_indices=True)
+        .reshape(n_tiles, 8, _LANES)
+    )
     return SegTilePlan(
         vals=tvals,
         q=tq,

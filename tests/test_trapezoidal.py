@@ -212,3 +212,67 @@ def test_ops_under_jit():
         return trap_todense(trap_smm(trap_scale(2.0, a), b))
 
     np.testing.assert_allclose(np.asarray(f(a, b)), 2 * xa @ xb, rtol=1e-12)
+
+
+def test_trap_smm_blocked_matches_densify():
+    # force the blocked packed path at small sizes and check it against the
+    # densify path and the dense oracle: tall, wide, and square shape mixes,
+    # both orientations
+    from sparse_tpu.formats import trapezoidal as trap_mod
+
+    rng = np.random.default_rng(11)
+    for (n, m, k) in [(200, 130, 170), (90, 260, 140), (150, 150, 150),
+                      (130, 70, 210)]:
+        for lower in (True, False):
+            xa = np.tril(rng.standard_normal((n, m)))
+            xb = np.tril(rng.standard_normal((m, k)))
+            if not lower:
+                xa, xb = np.triu(rng.standard_normal((n, m))), \
+                    np.triu(rng.standard_normal((m, k)))
+            a = trap_mod.trap_from_dense(jnp.asarray(xa, jnp.float32),
+                                         lower=lower)
+            b = trap_mod.trap_from_dense(jnp.asarray(xb, jnp.float32),
+                                         lower=lower)
+            dense_ref = trap_mod.trap_todense(trap_mod.trap_smm(a, b))
+            if lower:
+                blocked = trap_mod._trap_smm_blocked(
+                    a.data, b.data, n, m, k, jnp.float32, B=64
+                )
+            else:
+                blocked = trap_mod._trap_smm_blocked(
+                    b.data, a.data, k, m, n, jnp.float32, B=64
+                )
+            c_blocked = trap_mod.Trapezoidal(data=blocked, n=n, m=k,
+                                             lower=lower)
+            np.testing.assert_allclose(
+                np.asarray(trap_mod.trap_todense(c_blocked)),
+                np.asarray(dense_ref),
+                rtol=2e-4, atol=2e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(dense_ref), xa @ xb, rtol=2e-4, atol=2e-4
+            )
+
+
+def test_trap_smm_large_dispatches_blocked(monkeypatch):
+    # shrink the dispatch threshold so the public entry point exercises the
+    # blocked path end-to-end, including under jit
+    from sparse_tpu.formats import trapezoidal as trap_mod
+
+    monkeypatch.setattr(trap_mod, "_TRAP_DENSE_MAX", 100)
+    monkeypatch.setattr(trap_mod, "_TRAP_BLOCK", 64)
+    rng = np.random.default_rng(12)
+    n, m, k = 180, 120, 150
+    xa = np.tril(rng.standard_normal((n, m)))
+    xb = np.tril(rng.standard_normal((m, k)))
+    a = trap_mod.trap_from_dense(jnp.asarray(xa, jnp.float32), lower=True)
+    b = trap_mod.trap_from_dense(jnp.asarray(xb, jnp.float32), lower=True)
+    c = trap_mod.trap_smm(a, b)
+    np.testing.assert_allclose(
+        np.asarray(trap_mod.trap_todense(c)), xa @ xb, rtol=2e-4, atol=2e-4
+    )
+    c_jit = jax.jit(trap_mod.trap_smm)(a, b)
+    np.testing.assert_allclose(
+        np.asarray(trap_mod.trap_todense(c_jit)), xa @ xb,
+        rtol=2e-4, atol=2e-4,
+    )
