@@ -28,7 +28,7 @@ from ..formats.bell import BELL
 
 _wp_dataclass = _wp_dc.dataclass
 
-__all__ = ["bell_spmm_pallas", "bell_spmm_pallas_fused", "bell_smvm_pallas",
+__all__ = ["bell_spmm_pallas", "bell_spmm_pallas_fused",
            "build_banded_plan", "BandedPlan", "bell_spmm_pallas_banded"]
 
 
@@ -156,79 +156,6 @@ def bell_spmm_pallas_fused(a: BELL, b: jax.Array, *,
         interpret=interpret,
     )(a.cols.reshape(-1), lhs, *([b3] * Lb))
     return out.reshape(a.n, k)
-
-
-def bell_smvm_pallas(a: BELL, v: jax.Array, *, row_tile: int = 4,
-                     interpret: bool = False) -> jax.Array:
-    """Pallas blocked-ELL SpMV: ``row_tile`` block rows per grid step, each
-    window's operand chunk DMA'd via scalar-prefetched column ids; blocks
-    stream in their stored layout (the XLA einsum path pays a full
-    layout-transpose copy of the block array).  In-step math is a
-    lane-reduced broadcast multiply per (row, window).
-
-    Status: correctness-validated (interpreter mode); hardware profiling
-    pending — the per-step DMA count (row_tile * Lb chunks of bsz floats)
-    may be latency-bound at small bsz; prefer ``bell_smvm`` until measured.
-    """
-    v = jnp.asarray(v)
-    if v.shape != (a.n,):
-        raise ValueError(f"bell_smvm_pallas: vector shape {v.shape} != ({a.n},)")
-    nb, bsz, Lb = a.nb, a.bsz, a.Lb
-    out_dtype = jnp.result_type(a.dtype, v.dtype)
-    if a.n == 0 or Lb == 0:
-        return jnp.zeros((a.n,), out_dtype)
-    rt = max(1, row_tile)
-    nb_pad = -(-nb // rt) * rt
-    cols = a.cols
-    blocks = a.blocks.astype(out_dtype)
-    if nb_pad != nb:
-        cols = jnp.concatenate(
-            [cols, jnp.zeros((nb_pad - nb, Lb), cols.dtype)]
-        )
-        blocks = jnp.concatenate(
-            [blocks, jnp.zeros((nb_pad - nb, Lb, bsz, bsz), blocks.dtype)]
-        )
-    # unit middle axis so the chunk block's trailing dims equal the array's
-    # (Mosaic requires trailing block dims divisible by (8, 128) OR equal to
-    # the full array dims)
-    v2 = v.reshape(nb, 1, bsz).astype(out_dtype)
-
-    def kernel(cols_ref, blk_ref, *rest):
-        chunk_refs, o_ref = rest[:-1], rest[-1]
-        for i in range(rt):
-            acc = jnp.zeros((bsz,), o_ref.dtype)
-            for l in range(Lb):
-                c = chunk_refs[i * Lb + l][0, 0]  # (bsz,)
-                acc = acc + jnp.sum(blk_ref[i, l] * c[None, :], axis=1)
-            o_ref[i, :] = acc
-
-    def chunk_spec(i, l):
-        return pl.BlockSpec(
-            (1, 1, bsz),
-            lambda r, cols, i=i, l=l: (cols[(r * rt + i) * Lb + l], 0, 0),
-        )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb_pad // rt,),
-        in_specs=[
-            pl.BlockSpec((rt, Lb, bsz, bsz), lambda r, cols: (r, 0, 0, 0))
-        ]
-        + [chunk_spec(i, l) for i in range(rt) for l in range(Lb)],
-        out_specs=pl.BlockSpec((rt, bsz), lambda r, cols: (r, 0)),
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb_pad, bsz), out_dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * nb_pad * Lb * bsz * bsz,
-            bytes_accessed=nb_pad * Lb * (bsz * bsz + bsz) * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(cols.reshape(-1), blocks, *([v2] * (rt * Lb)))
-    return out[:nb].reshape(a.n)
 
 
 _bp_register = _wp_partial(

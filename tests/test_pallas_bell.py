@@ -58,20 +58,6 @@ def test_pallas_spmm_fused_matches(n, bsz, k):
     )
 
 
-@pytest.mark.parametrize("n,bsz,rt", [(32, 8, 4), (40, 8, 4), (64, 16, 2)])
-def test_pallas_smvm_matches(n, bsz, rt):
-    from sparse_tpu.ops.pallas_bell import bell_smvm_pallas
-
-    a, xa = random_bell(n, bsz, 0.4, seed=n + rt)
-    v = jnp.asarray(
-        np.random.default_rng(rt).standard_normal(n).astype(np.float32)
-    )
-    got = bell_smvm_pallas(a, v, row_tile=rt, interpret=True)
-    np.testing.assert_allclose(
-        np.asarray(got), xa @ np.asarray(v), rtol=2e-5, atol=2e-5
-    )
-
-
 def banded_bell(nb, bsz, half_band, seed, empty_rows=()):
     rng = np.random.default_rng(seed)
     n = nb * bsz
