@@ -3,10 +3,13 @@ lives in /bench.py).
 
 Run: python benchmarks/suite.py [--quick]
 
-Covers BASELINE.md configs beyond the headline: CSR SpMV (unstructured),
-CSR SpMM tall-skinny, blocked-ELL SpMV/SpMM, SpGEMM, and distributed SpMV
+Covers BASELINE.md configs beyond the headline: CSR SpMV (unstructured XLA
+path + the Pallas segment-tile kernel on TPU), CSR SpMM tall-skinny, a
+blocked-ELL SpMM k-sweep (32..256), SpGEMM, and distributed SpMV
 weak-scaling on the virtual CPU mesh.  All timings dependency-chained inside
-jit (see docs/performance.md for why).
+jit (see docs/performance.md for why).  ``vs_baseline`` on roofline-tracked
+metrics is the fraction of the chip's *measured* streaming ceiling
+(chained 256 MB axpy: 207 GB/s on the v5e, docs/performance.md).
 """
 
 from __future__ import annotations
@@ -21,6 +24,7 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 K_CHAIN = 5
+MEASURED_CEILING_GBPS = 207.0  # v5e chained 256 MB axpy (docs/performance.md)
 
 
 def timed_chain(step, v0, iters=3):
@@ -90,7 +94,51 @@ def bench_csr(quick):
     b0 = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32) * 0.01)
     t = timed_chain(lambda b: csr_spmm_fast(a, b, plan), b0)
     eff = (nnz * (4 + 4 + 4 * k) + n * k * 4) / t / 1e9
-    emit(f"csr_spmm_k{k}_eff_bw", eff, "GB/s")
+    emit(f"csr_spmm_k{k}_eff_bw", eff, "GB/s", eff / MEASURED_CEILING_GBPS)
+
+
+def bench_csr_segtile(quick):
+    """Pallas segment-tile SpMV on a clustered (banded) pattern — the
+    kernel's target case (BASELINE config 2's fast path).  TPU only."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return
+    from sparse_tpu import CSR
+    from sparse_tpu.ops.pallas_csr import build_seg_tiles, csr_smvm_segtile
+
+    # same config as docs/performance.md's segtile table: 500k rows,
+    # ~10M nnz band of half-width 1000, no block structure
+    rng = np.random.default_rng(4)
+    n = m = 250_000 if quick else 500_000
+    per_row = 20
+    rows = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    cols = np.clip(rows + rng.integers(-1000, 1000, rows.size), 0, m - 1)
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    keep = np.ones(rows.size, bool)
+    keep[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+    rows, cols = rows[keep], cols[keep]
+    nnz = rows.size
+    vals = (rng.standard_normal(nnz) * 0.01).astype(np.float32)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
+    a = CSR(
+        data=jnp.asarray(vals),
+        indices=jnp.asarray(cols.astype(np.int32)),
+        indptr=jnp.asarray(indptr.astype(np.int32)),
+        shape=(n, m),
+    )
+    plan = build_seg_tiles(a)
+    v0 = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    t = timed_chain(lambda v: csr_smvm_segtile(a, v, plan), v0)
+    emit("csr_spmv_segtile_banded_nnzps", nnz / t / 1e9, "Gnnz/s")
+    # slot traffic (5 B/slot) + operand + output is what the kernel streams
+    slots = plan.n_tiles * 8 * 128
+    eff = (slots * 5 + m * 4 + n * 4) / t / 1e9
+    emit("csr_spmv_segtile_banded_eff_bw", eff, "GB/s",
+         eff / MEASURED_CEILING_GBPS)
 
 
 def bench_bell(quick):
@@ -128,10 +176,22 @@ def bench_bell(quick):
     eff = (rows.size * (bsz * bsz * 4 + 4 + bsz * 4) + n * 4) / t / 1e9
     emit("bell_spmv_block_banded_eff_bw", eff, "GB/s")
 
-    k = 64
-    b0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.01)
-    t = timed_chain(lambda b: bell_spmm(a, b), b0)
-    emit(f"bell_spmm_k{k}_gflops", 2 * nnz * k / t / 1e9, "GFLOP/s")
+    # k-sweep (BASELINE config 3: SpMM k=32..256), production dispatch:
+    # banded-plan kernel on TPU (same path as the headline bench)
+    import jax
+
+    from sparse_tpu.ops.pallas_bell import bell_banded_prepare
+
+    plan = (bell_banded_prepare(a, row_tile=5)
+            if jax.default_backend() == "tpu" and nb % 5 == 0 else None)
+    for k in (32, 64, 128, 256):
+        b0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.01)
+        t = timed_chain(lambda b: bell_spmm(a, b, plan=plan), b0)
+        # same minimum-traffic model as bench.py: blocks + block col ids +
+        # one gathered (bsz, k) operand panel per block + output
+        eff = (rows.size * (bsz * bsz * 4 + 4 + bsz * k * 4) + n * k * 4) / t / 1e9
+        emit(f"bell_spmm_k{k}_gflops", 2 * nnz * k / t / 1e9, "GFLOP/s")
+        emit(f"bell_spmm_k{k}_eff_bw", eff, "GB/s", eff / MEASURED_CEILING_GBPS)
 
 
 def bench_spgemm(quick):
@@ -183,9 +243,80 @@ def bench_distributed():
     )
 
 
+def _banded_csr(n, per_row, half_width, seed):
+    import jax.numpy as jnp
+
+    from sparse_tpu import CSR
+
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    cols = np.clip(rows + rng.integers(-half_width, half_width, rows.size),
+                   0, n - 1)
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    keep = np.ones(rows.size, bool)
+    keep[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+    rows, cols = rows[keep], cols[keep]
+    vals = (rng.standard_normal(rows.size) * 0.01).astype(np.float32)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
+    return CSR(
+        data=jnp.asarray(vals),
+        indices=jnp.asarray(cols.astype(np.int32)),
+        indptr=jnp.asarray(indptr.astype(np.int32)),
+        shape=(n, n),
+    ), rows.size
+
+
+def bench_weak_scaling(quick):
+    """BASELINE config 5: fixed rows/device, time pcsr_spmv at growing
+    device counts; efficiency(d) = t(1) / t(d) (flat time = 1.0).
+
+    Caveat: on the virtual CPU mesh the d "devices" oversubscribe the
+    host's physical cores, so efficiency here is bounded by core count,
+    not by the communication pattern — treat CPU numbers as a structural
+    regression check, not a scaling result.  Real weak scaling needs a
+    multi-chip TPU slice (ICI collectives)."""
+    import jax
+
+    ndev = len(jax.devices())
+    if ndev < 2:
+        return
+    import jax.numpy as jnp
+
+    from sparse_tpu.parallel import make_1d_mesh, pcsr_from_csr, pcsr_spmv
+    from sparse_tpu.parallel.pcsr import shard_vector
+
+    rows_per_dev = 16_384 if quick else 65_536
+    per_row = 16
+    t1 = None
+    d = 1
+    while d <= ndev:
+        n = rows_per_dev * d
+        a, nnz = _banded_csr(n, per_row, 2048, seed=100 + d)
+        mesh = make_1d_mesh(d)
+        pa = pcsr_from_csr(a, mesh)
+        v0 = shard_vector(
+            jnp.asarray(
+                np.random.default_rng(d).standard_normal(n).astype(np.float32)
+            ),
+            pa, mesh,
+        )
+        t = timed_chain(lambda v: pcsr_spmv(pa, v, mesh), v0)
+        if d == 1:
+            t1 = t
+        emit(
+            f"pcsr_spmv_weak_{d}dev_nnzps", nnz / t / 1e9, "Gnnz/s",
+            t1 / t,
+        )
+        d *= 2
+
+
 if __name__ == "__main__":
     quick = "--quick" in sys.argv
     bench_csr(quick)
+    bench_csr_segtile(quick)
     bench_bell(quick)
     bench_spgemm(quick)
     bench_distributed()
+    bench_weak_scaling(quick)

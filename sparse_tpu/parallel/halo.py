@@ -134,14 +134,8 @@ def halo_partition(a: CSR, mesh: Mesh, axis: str = "shards") -> HaloPCSR:
     )
 
 
-def halo_spmv(a: HaloPCSR, v: jax.Array, mesh: Mesh) -> jax.Array:
-    """Distributed SpMV with halo exchange.  ``v`` sharded over the mesh axis
-    padded to ``cols_per_shard * D`` (use ``shard_vector``); output is padded
-    row-sharded.  Comm: one all_to_all of (D * halo) entries per device."""
-    ax = a.axis
-    d = a.n_shards
-    H = a.halo
-
+@partial(jax.jit, static_argnames=("mesh", "ax", "d", "H"))
+def _halo_spmv_exec(data, indices, indptr, send_idx, v, *, mesh, ax, d, H):
     def body(data, indices, indptr, send_idx, v_local):
         # gather this shard's outgoing halo entries: row t = what we send to t
         send_buf = v_local[send_idx[0]]  # (D, H)
@@ -160,7 +154,17 @@ def halo_spmv(a: HaloPCSR, v: jax.Array, mesh: Mesh) -> jax.Array:
         in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
         out_specs=P(ax),
     )
-    return f(a.data, a.indices, a.indptr, a.send_idx, v).reshape(-1)
+    return f(data, indices, indptr, send_idx, v)
+
+
+def halo_spmv(a: HaloPCSR, v: jax.Array, mesh: Mesh) -> jax.Array:
+    """Distributed SpMV with halo exchange.  ``v`` sharded over the mesh axis
+    padded to ``cols_per_shard * D`` (use ``shard_vector``); output is padded
+    row-sharded.  Comm: one all_to_all of (D * halo) entries per device."""
+    return _halo_spmv_exec(
+        a.data, a.indices, a.indptr, a.send_idx, v,
+        mesh=mesh, ax=a.axis, d=a.n_shards, H=a.halo,
+    ).reshape(-1)
 
 
 @partial(
@@ -288,20 +292,10 @@ def halo_partition_overlapped(
     )
 
 
-def halo_spmv_overlapped(
-    a: HaloPCSROverlap, v: jax.Array, mesh: Mesh
-) -> jax.Array:
-    """Distributed SpMV with the halo exchange overlapped with interior
-    compute.  Same calling convention as :func:`halo_spmv`.  The interior
-    partial sum has no data dependency on the collective, so on TPU the
-    async all_to_all flies over ICI while the interior SpMV occupies the
-    core (XLA latency-hiding scheduling); the frontier partial sum closes
-    the row totals afterwards."""
-    ax = a.axis
-    d = a.n_shards
-    H = a.halo
-    rows_p = a.rows_per_shard
-
+@partial(jax.jit, static_argnames=("mesh", "ax", "d", "H", "rows_p"))
+def _halo_spmv_overlapped_exec(
+    iv, ii, ir, fv, fi, frw, send_idx, v, *, mesh, ax, d, H, rows_p
+):
     def body(iv, ii, ir, fv, fi, frw, send_idx, v_local):
         send_buf = v_local[send_idx[0]]  # (D, H)
         recv = jax.lax.all_to_all(send_buf, ax, split_axis=0, concat_axis=0)
@@ -317,8 +311,22 @@ def halo_spmv_overlapped(
         in_specs=(P(ax),) * 8,
         out_specs=P(ax),
     )
-    return f(
+    return f(iv, ii, ir, fv, fi, frw, send_idx, v)
+
+
+def halo_spmv_overlapped(
+    a: HaloPCSROverlap, v: jax.Array, mesh: Mesh
+) -> jax.Array:
+    """Distributed SpMV with the halo exchange overlapped with interior
+    compute.  Same calling convention as :func:`halo_spmv`.  The interior
+    partial sum has no data dependency on the collective, so on TPU the
+    async all_to_all flies over ICI while the interior SpMV occupies the
+    core (XLA latency-hiding scheduling); the frontier partial sum closes
+    the row totals afterwards."""
+    return _halo_spmv_overlapped_exec(
         a.int_data, a.int_idx, a.int_rows,
         a.fr_data, a.fr_idx, a.fr_rows,
         a.send_idx, v,
+        mesh=mesh, ax=a.axis, d=a.n_shards, H=a.halo,
+        rows_p=a.rows_per_shard,
     ).reshape(-1)

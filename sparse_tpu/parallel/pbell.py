@@ -92,19 +92,15 @@ def pbell_shard_vector(v: jax.Array, a: PBELL, mesh: Mesh) -> jax.Array:
     return put_sharded(v, mesh, a.axis)
 
 
-def pbell_smvm(a: PBELL, v: jax.Array, mesh: Mesh) -> jax.Array:
-    """Distributed blocked SpMV: ``v`` padded to ``rows_p*D*bsz`` and sharded
-    (see ``shard_vector``); output stays row-sharded with the same padding."""
-    ax = a.axis
-    nb_pad = a.rows_per_shard * a.n_shards
-
+@partial(jax.jit, static_argnames=("mesh", "ax", "nb_pad", "rows_p", "Lb", "bsz"))
+def _pbell_smvm_exec(cols_g, blocks_g, v, *, mesh, ax, nb_pad, rows_p, Lb, bsz):
     def body(cols, blocks, v_local):
         v_full = jax.lax.all_gather(v_local, ax, tiled=True)
-        v2 = v_full.reshape(nb_pad, a.bsz)
+        v2 = v_full.reshape(nb_pad, bsz)
         c = cols[0]  # (rows_p, Lb)
-        vb = v2[c.reshape(-1)].reshape(a.rows_per_shard, a.Lb, a.bsz)
+        vb = v2[c.reshape(-1)].reshape(rows_p, Lb, bsz)
         out = jnp.einsum("rlij,rlj->ri", blocks[0], vb)
-        return out.reshape(1, a.rows_per_shard * a.bsz)
+        return out.reshape(1, rows_p * bsz)
 
     f = shard_map(
         body,
@@ -112,28 +108,44 @@ def pbell_smvm(a: PBELL, v: jax.Array, mesh: Mesh) -> jax.Array:
         in_specs=(P(ax), P(ax), P(ax)),
         out_specs=P(ax),
     )
-    return f(a.cols, a.blocks, v).reshape(-1)
+    return f(cols_g, blocks_g, v)
+
+
+def pbell_smvm(a: PBELL, v: jax.Array, mesh: Mesh) -> jax.Array:
+    """Distributed blocked SpMV: ``v`` padded to ``rows_p*D*bsz`` and sharded
+    (see ``shard_vector``); output stays row-sharded with the same padding."""
+    return _pbell_smvm_exec(
+        a.cols, a.blocks, v, mesh=mesh, ax=a.axis,
+        nb_pad=a.rows_per_shard * a.n_shards, rows_p=a.rows_per_shard,
+        Lb=a.Lb, bsz=a.bsz,
+    ).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("mesh", "ax", "nb_pad", "rows_p", "Lb", "bsz"))
+def _pbell_spmm_exec(cols_g, blocks_g, b, *, mesh, ax, nb_pad, rows_p, Lb, bsz):
+    def body(cols, blocks, b_local):
+        b_full = jax.lax.all_gather(b_local, ax, tiled=True)
+        k = b_full.shape[1]
+        b3 = b_full.reshape(nb_pad, bsz, k)
+        c = cols[0]
+        panels = b3[c.reshape(-1)].reshape(rows_p, Lb, bsz, k)
+        out = jnp.einsum("rlij,rljk->rik", blocks[0], panels)
+        return out.reshape(1, rows_p * bsz, k)
+
+    f = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P(ax)),
+        out_specs=P(ax),
+    )
+    return f(cols_g, blocks_g, b)
 
 
 def pbell_spmm(a: PBELL, b: jax.Array, mesh: Mesh) -> jax.Array:
     """Distributed blocked SpMM; ``b`` row-sharded with the same padding."""
-    ax = a.axis
-    nb_pad = a.rows_per_shard * a.n_shards
-
-    def body(cols, blocks, b_local):
-        b_full = jax.lax.all_gather(b_local, ax, tiled=True)
-        k = b_full.shape[1]
-        b3 = b_full.reshape(nb_pad, a.bsz, k)
-        c = cols[0]
-        panels = b3[c.reshape(-1)].reshape(a.rows_per_shard, a.Lb, a.bsz, k)
-        out = jnp.einsum("rlij,rljk->rik", blocks[0], panels)
-        return out.reshape(1, a.rows_per_shard * a.bsz, k)
-
-    f = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(ax), P(ax), P(ax)),
-        out_specs=P(ax),
+    out = _pbell_spmm_exec(
+        a.cols, a.blocks, b, mesh=mesh, ax=a.axis,
+        nb_pad=a.rows_per_shard * a.n_shards, rows_p=a.rows_per_shard,
+        Lb=a.Lb, bsz=a.bsz,
     )
-    out = f(a.cols, a.blocks, b)
     return out.reshape(-1, b.shape[1])

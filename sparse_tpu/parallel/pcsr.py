@@ -159,12 +159,14 @@ def _local_spmv(data, indices, indptr, v):
     return segment_sum(prods, rows, rows_p, indices_are_sorted=True)
 
 
-def pcsr_spmv(a: PCSR, v: jax.Array, mesh: Mesh) -> jax.Array:
-    """Distributed SpMV: ``v`` sharded over the mesh axis; all-gather over
-    ICI, local slab SpMV; output stays row-sharded.  Returns the padded
-    (rows_p * D,) vector — slice to ``a.shape[0]`` for the logical result."""
-    ax = a.axis
+# shard_map pipelines are jitted at module level (statics: mesh + axis) so
+# that eager user calls hit XLA's compile cache instead of dispatching every
+# traced op individually — measured 20+ s/eager call on the 8-device CPU
+# mesh without this, miliseconds with it.
 
+
+@partial(jax.jit, static_argnames=("mesh", "ax"))
+def _pcsr_spmv_exec(data, indices, indptr, v, *, mesh, ax):
     def body(data, indices, indptr, v_local):
         v_full = jax.lax.all_gather(v_local, ax, tiled=True)
         return _local_spmv(data[0], indices[0], indptr[0], v_full)[None]
@@ -175,14 +177,20 @@ def pcsr_spmv(a: PCSR, v: jax.Array, mesh: Mesh) -> jax.Array:
         in_specs=(P(ax), P(ax), P(ax), P(ax)),
         out_specs=P(ax),
     )
-    return f(a.data, a.indices, a.indptr, v).reshape(-1)
+    return f(data, indices, indptr, v)
 
 
-def pcsr_spmm(a: PCSR, b: jax.Array, mesh: Mesh) -> jax.Array:
-    """Distributed SpMM (CSR x dense tall-skinny): ``b`` row-sharded; output
-    row-sharded with padded leading dim rows_p * D."""
-    ax = a.axis
+def pcsr_spmv(a: PCSR, v: jax.Array, mesh: Mesh) -> jax.Array:
+    """Distributed SpMV: ``v`` sharded over the mesh axis; all-gather over
+    ICI, local slab SpMV; output stays row-sharded.  Returns the padded
+    (rows_p * D,) vector — slice to ``a.shape[0]`` for the logical result."""
+    return _pcsr_spmv_exec(
+        a.data, a.indices, a.indptr, v, mesh=mesh, ax=a.axis
+    ).reshape(-1)
 
+
+@partial(jax.jit, static_argnames=("mesh", "ax"))
+def _pcsr_spmm_exec(data, indices, indptr, b, *, mesh, ax):
     def body(data, indices, indptr, b_local):
         b_full = jax.lax.all_gather(b_local, ax, tiled=True)
         data, indices, indptr = data[0], indices[0], indptr[0]
@@ -197,7 +205,13 @@ def pcsr_spmm(a: PCSR, b: jax.Array, mesh: Mesh) -> jax.Array:
         in_specs=(P(ax), P(ax), P(ax), P(ax)),
         out_specs=P(ax),
     )
-    out = f(a.data, a.indices, a.indptr, b)
+    return f(data, indices, indptr, b)
+
+
+def pcsr_spmm(a: PCSR, b: jax.Array, mesh: Mesh) -> jax.Array:
+    """Distributed SpMM (CSR x dense tall-skinny): ``b`` row-sharded; output
+    row-sharded with padded leading dim rows_p * D."""
+    out = _pcsr_spmm_exec(a.data, a.indices, a.indptr, b, mesh=mesh, ax=a.axis)
     return out.reshape(-1, b.shape[1])
 
 

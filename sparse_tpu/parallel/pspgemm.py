@@ -17,6 +17,9 @@ of COO triples (parallel/halo.py demonstrates the plan machinery).
 
 from __future__ import annotations
 
+import dataclasses
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -75,6 +78,29 @@ def pcsr_spgemm(a: PCSR, b: PCSR, mesh: Mesh,
             f = max(f, int(b_lens_global[a_idx[s, :valid]].sum()))
         expansion_nse = max(f, 1)
 
+    cd, ci, cp = _pcsr_spgemm_exec(
+        a.data, a.indices, a.indptr, b.data, b.indices, b.indptr,
+        mesh=mesh, ax=ax, d=d, rows_p=rows_p, m=m, k=k,
+        expansion_nse=expansion_nse,
+    )
+    return PCSR(
+        data=cd,
+        indices=ci,
+        indptr=cp,
+        shape=(n, k),
+        axis=ax,
+        rows_per_shard=rows_p,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "ax", "d", "rows_p", "m", "k", "expansion_nse"),
+)
+def _pcsr_spgemm_exec(a_data_g, a_idx_g, a_ptr_g, b_data_g, b_idx_g, b_ptr_g,
+                      *, mesh, ax, d, rows_p, m, k, expansion_nse):
+    # module-level jit: eager calls hit the compile cache (the shard_map
+    # ESC pipeline dispatched op-by-op costs tens of seconds per call)
     def body(a_data, a_idx, a_ptr, b_data, b_idx, b_ptr):
         # gather B's padded shard storage: rows stay contiguous per shard
         bd = jax.lax.all_gather(b_data[0], ax)  # (D, nse_p)
@@ -101,15 +127,7 @@ def pcsr_spgemm(a: PCSR, b: PCSR, mesh: Mesh,
         in_specs=(P(ax),) * 6,
         out_specs=(P(ax), P(ax), P(ax)),
     )
-    cd, ci, cp = f(a.data, a.indices, a.indptr, b.data, b.indices, b.indptr)
-    return PCSR(
-        data=cd,
-        indices=ci,
-        indptr=cp,
-        shape=(n, k),
-        axis=ax,
-        rows_per_shard=rows_p,
-    )
+    return f(a_data_g, a_idx_g, a_ptr_g, b_data_g, b_idx_g, b_ptr_g)
 
 
 def pcsr_transpose(a: PCSR, mesh: Mesh) -> PCSR:
@@ -132,9 +150,6 @@ def pcsr_transpose(a: PCSR, mesh: Mesh) -> PCSR:
 # Rows a shard needs from itself never enter the collective — they are read
 # straight out of local storage, so the exchange payload is strictly remote.
 # ---------------------------------------------------------------------------
-
-import dataclasses
-from functools import partial
 
 from ..ops.segmented import segment_sum  # noqa: F401  (re-export convenience)
 
@@ -270,11 +285,24 @@ def pcsr_spgemm_aa(a: PCSR, b: PCSR, mesh: Mesh, plan: PSpGEMMPlan) -> PCSR:
     n, m = a.shape
     _, k = b.shape
     ax = a.axis
-    d = a.n_shards
     rows_p = a.rows_per_shard
-    E = plan.exch
-    cap = plan.cap
+    cd, ci, cp = _pcsr_spgemm_aa_exec(
+        a.data, a.indices, a.indptr, b.data, b.indices,
+        plan.send_pos, plan.bi_gath, plan.starts, plan.lens,
+        mesh=mesh, ax=ax, rows_p=rows_p, m=m, k=k, cap=plan.cap,
+    )
+    return PCSR(
+        data=cd, indices=ci, indptr=cp, shape=(n, k), axis=ax,
+        rows_per_shard=rows_p,
+    )
 
+
+@partial(
+    jax.jit, static_argnames=("mesh", "ax", "rows_p", "m", "k", "cap")
+)
+def _pcsr_spgemm_aa_exec(a_data_g, a_idx_g, a_ptr_g, b_data_g, b_idx_g,
+                         send_pos_g, bi_gath_g, starts_g, lens_g,
+                         *, mesh, ax, rows_p, m, k, cap):
     def body(a_data, a_idx, a_ptr, b_data, b_idx, send_pos, bi_gath,
              starts, lens):
         send_buf = b_data[0][send_pos[0]]  # (D, E)
@@ -300,13 +328,9 @@ def pcsr_spgemm_aa(a: PCSR, b: PCSR, mesh: Mesh, plan: PSpGEMMPlan) -> PCSR:
         in_specs=(P(ax),) * 9,
         out_specs=(P(ax), P(ax), P(ax)),
     )
-    cd, ci, cp = f(
-        a.data, a.indices, a.indptr, b.data, b.indices,
-        plan.send_pos, plan.bi_gath, plan.starts, plan.lens,
-    )
-    return PCSR(
-        data=cd, indices=ci, indptr=cp, shape=(n, k), axis=ax,
-        rows_per_shard=rows_p,
+    return f(
+        a_data_g, a_idx_g, a_ptr_g, b_data_g, b_idx_g,
+        send_pos_g, bi_gath_g, starts_g, lens_g,
     )
 
 
@@ -411,14 +435,8 @@ def build_transpose_plan(a: PCSR, mesh: Mesh) -> PTransposePlan:
     )
 
 
-def pcsr_transpose_device(a: PCSR, mesh: Mesh, plan: PTransposePlan) -> PCSR:
-    """A^T row-partitioned, computed on device: one values-only all_to_all
-    (O(nnz/D) per device) + one gather into the plan's static structure.
-    jit-compatible; replaces the host-side rebuild."""
-    ax = a.axis
-    d = a.n_shards
-    E = plan.exch
-
+@partial(jax.jit, static_argnames=("mesh", "ax"))
+def _pcsr_transpose_exec(a_data_g, send_pos_g, perm_g, *, mesh, ax):
     def body(a_data, send_pos, perm):
         send_buf = a_data[0][send_pos[0]]  # (D, E)
         recv = jax.lax.all_to_all(send_buf, ax, split_axis=0, concat_axis=0)
@@ -430,7 +448,17 @@ def pcsr_transpose_device(a: PCSR, mesh: Mesh, plan: PTransposePlan) -> PCSR:
     f = shard_map(
         body, mesh=mesh, in_specs=(P(ax),) * 3, out_specs=P(ax),
     )
-    vals = f(a.data, plan.send_pos, plan.perm)
+    return f(a_data_g, send_pos_g, perm_g)
+
+
+def pcsr_transpose_device(a: PCSR, mesh: Mesh, plan: PTransposePlan) -> PCSR:
+    """A^T row-partitioned, computed on device: one values-only all_to_all
+    (O(nnz/D) per device) + one gather into the plan's static structure.
+    jit-compatible; replaces the host-side rebuild."""
+    ax = a.axis
+    vals = _pcsr_transpose_exec(
+        a.data, plan.send_pos, plan.perm, mesh=mesh, ax=ax
+    )
     return PCSR(
         data=vals,
         indices=plan.indices,

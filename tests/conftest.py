@@ -21,6 +21,15 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Under pytest-xdist every worker creates 8 virtual devices, each with its
+# own intra-op thread pool — on a small host the workers thrash (measured:
+# sys time > user time).  One compute thread per virtual device is faster
+# in aggregate.
+if os.environ.get("PYTEST_XDIST_WORKER"):
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ["XLA_FLAGS"] += " --xla_cpu_multi_thread_eigen=false"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
