@@ -19,6 +19,8 @@ symbolic pass before the numeric pass.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -105,12 +107,15 @@ def spgemm_products(a: CSR, b_data, b_indices, b_starts, b_lens, k: int,
     return COO(row=row, col=col, data=val.astype(out_dtype), shape=(n, k))
 
 
+@partial(jax.jit, static_argnames=("expansion_nse",))
 def spgemm_csr_csr(a: CSR, b: CSR, expansion_nse: int) -> CSR:
     """jit-compatible ESC SpGEMM core: C = A @ B, both row-compressed.
 
     ``expansion_nse`` must be a static bound >= the true number of scalar
     products (see :func:`spgemm_flops`).  The result CSR has capacity
     ``expansion_nse`` with unique (row, col) entries packed at the front.
+    Jitted at module level so eager calls hit the compile cache instead of
+    dispatching the expand-sort-compress pipeline op-by-op.
     """
     n, m = a.shape
     m2, k = b.shape
