@@ -27,23 +27,29 @@ K_CHAIN = 5
 MEASURED_CEILING_GBPS = 207.0  # v5e chained 256 MB axpy (docs/performance.md)
 
 
-def timed_chain(step, v0, iters=3):
+def timed_chain(step, v0, *operands, iters=3):
+    """Seconds per application of ``step(v, *operands)``, dependency-chained.
+
+    ``operands`` (the sparse matrix, plans, ...) are passed as jit
+    *arguments* — closure constants get embedded in the remote-compile
+    payload and overflow the tunnel's upload limit (HTTP 413) or stretch
+    compiles to minutes (docs/performance.md)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(v):
+    def run(v, *ops):
         def body(_, v):
-            w = step(v)
+            w = step(v, *ops)
             return w / (jnp.max(jnp.abs(w)) + 1.0)
 
         return jnp.sum(jax.lax.fori_loop(0, K_CHAIN, body, v))
 
-    float(run(v0))
+    float(run(v0, *operands))
     best = np.inf
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(run(v0))
+        float(run(v0, *operands))
         best = min(best, (time.perf_counter() - t0) / K_CHAIN)
     return best
 
@@ -79,7 +85,7 @@ def bench_csr(quick):
     )
     plan = build_spmv_plan(a)
     v0 = jnp.asarray(rng.standard_normal(m).astype(np.float32))
-    t = timed_chain(lambda v: csr_smvm_fast(a, v, plan), v0)
+    t = timed_chain(lambda v, a, plan: csr_smvm_fast(a, v, plan), v0, a, plan)
     s = sp.csr_matrix((vals, cols.reshape(-1), indptr), shape=(n, m))
     x = np.asarray(v0)
     s @ x
@@ -92,7 +98,7 @@ def bench_csr(quick):
 
     k = 64
     b0 = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32) * 0.01)
-    t = timed_chain(lambda b: csr_spmm_fast(a, b, plan), b0)
+    t = timed_chain(lambda b, a, plan: csr_spmm_fast(a, b, plan), b0, a, plan)
     eff = (nnz * (4 + 4 + 4 * k) + n * k * 4) / t / 1e9
     emit(f"csr_spmm_k{k}_eff_bw", eff, "GB/s", eff / MEASURED_CEILING_GBPS)
 
@@ -132,7 +138,7 @@ def bench_csr_segtile(quick):
     )
     plan = build_seg_tiles(a)
     v0 = jnp.asarray(rng.standard_normal(m).astype(np.float32))
-    t = timed_chain(lambda v: csr_smvm_segtile(a, v, plan), v0)
+    t = timed_chain(lambda v, a, plan: csr_smvm_segtile(a, v, plan), v0, a, plan)
     emit("csr_spmv_segtile_banded_nnzps", nnz / t / 1e9, "Gnnz/s")
     # slot traffic (5 B/slot) + operand + output is what the kernel streams
     slots = plan.n_tiles * 8 * 128
@@ -172,7 +178,7 @@ def bench_bell(quick):
     )
     nnz = rows.size * bsz * bsz
     v0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    t = timed_chain(lambda v: bell_smvm(a, v), v0)
+    t = timed_chain(lambda v, a: bell_smvm(a, v), v0, a)
     eff = (rows.size * (bsz * bsz * 4 + 4 + bsz * 4) + n * 4) / t / 1e9
     emit("bell_spmv_block_banded_eff_bw", eff, "GB/s")
 
@@ -186,7 +192,7 @@ def bench_bell(quick):
             if jax.default_backend() == "tpu" and nb % 5 == 0 else None)
     for k in (32, 64, 128, 256):
         b0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.01)
-        t = timed_chain(lambda b: bell_spmm(a, b, plan=plan), b0)
+        t = timed_chain(lambda b, a, plan: bell_spmm(a, b, plan=plan), b0, a, plan)
         # same minimum-traffic model as bench.py: blocks + block col ids +
         # one gathered (bsz, k) operand panel per block + output
         eff = (rows.size * (bsz * bsz * 4 + 4 + bsz * k * 4) + n * k * 4) / t / 1e9
@@ -235,7 +241,7 @@ def bench_distributed():
     mesh = make_1d_mesh()
     pa = pcsr_from_csr(a, mesh)
     v0 = shard_vector(jnp.asarray(rng.standard_normal(n).astype(np.float32)), pa, mesh)
-    t = timed_chain(lambda v: pcsr_spmv(pa, v, mesh), v0)
+    t = timed_chain(lambda v, pa: pcsr_spmv(pa, v, mesh), v0, pa)
     emit(
         f"pcsr_spmv_{len(jax.devices())}dev_nnzps",
         float((x != 0).sum()) / t / 1e9,
@@ -302,7 +308,7 @@ def bench_weak_scaling(quick):
             ),
             pa, mesh,
         )
-        t = timed_chain(lambda v: pcsr_spmv(pa, v, mesh), v0)
+        t = timed_chain(lambda v, pa: pcsr_spmv(pa, v, mesh), v0, pa)
         if d == 1:
             t1 = t
         emit(

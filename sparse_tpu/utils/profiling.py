@@ -29,26 +29,31 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
-def timed_op(step, v0, *, iters: int = 10, reps: int = 3) -> float:
-    """Seconds per application of ``step`` (a jit-able v -> w function with
-    w feedable back as v), measured as ``iters`` dependency-chained
+def timed_op(step, v0, *operands, iters: int = 10, reps: int = 3) -> float:
+    """Seconds per application of ``step(v, *operands)`` (jit-able, with the
+    output feedable back as ``v``), measured as ``iters`` dependency-chained
     applications inside one jit, best of ``reps``; the scalar fetch forces
-    full execution."""
+    full execution.
+
+    Pass the sparse matrix / plan / any large array through ``operands`` —
+    as jit *arguments* — rather than closing over them: closure constants
+    are embedded in the compile payload, which on remote backends overflows
+    the upload limit (HTTP 413) or stretches compiles to minutes."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(v):
+    def run(v, *ops):
         def body(_, v):
-            w = step(v)
+            w = step(v, *ops)
             return w / (jnp.max(jnp.abs(w)) + 1.0)
 
         return jnp.sum(jax.lax.fori_loop(0, iters, body, v))
 
-    float(run(v0))  # compile + first run
+    float(run(v0, *operands))  # compile + first run
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(run(v0))
+        float(run(v0, *operands))
         best = min(best, time.perf_counter() - t0)
     return best / iters
