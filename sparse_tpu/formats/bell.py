@@ -26,6 +26,7 @@ import numpy as np
 
 from ..ops.segmented import INDEX_DTYPE
 from .bsr import BSR
+from ..utils.precision import matmul_precision
 
 __all__ = [
     "BELL",
@@ -122,12 +123,13 @@ def bell_smvm(a: BELL, v: jax.Array) -> jax.Array:
     vb = v.reshape(a.nb, a.bsz)[a.cols.reshape(-1)].reshape(
         a.nb, a.Lb, a.bsz
     )
-    out = jnp.einsum("rlij,rlj->ri", a.blocks, vb)
+    out = jnp.einsum("rlij,rlj->ri", a.blocks, vb,
+                     precision=matmul_precision(a.dtype, vb.dtype))
     return out.reshape(a.n).astype(out_dtype)
 
 
 def bell_spmm(a: BELL, b: jax.Array, *, prefer_pallas: bool | None = None,
-              plan=None, compute_dtype=None) -> jax.Array:
+              plan=None, compute_dtype=None, precision=None) -> jax.Array:
     """Blocked-ELL SpMM: batched (bsz x bsz) @ (bsz x k) on the MXU.
 
     On TPU backends this dispatches to a Pallas kernel by default: with a
@@ -156,18 +158,30 @@ def bell_spmm(a: BELL, b: jax.Array, *, prefer_pallas: bool | None = None,
             if isinstance(plan, BandedKit):
                 return bell_spmm_pallas_banded(
                     a, b, plan.plan, tiles=plan.tiles,
-                    compute_dtype=plan.tiles.dtype,
+                    compute_dtype=plan.tiles.dtype, precision=precision,
                 )
             return bell_spmm_pallas_banded(
-                a, b, plan, compute_dtype=compute_dtype
+                a, b, plan, compute_dtype=compute_dtype, precision=precision,
             )
         from ..ops.pallas_bell import bell_spmm_pallas_fused
 
-        return bell_spmm_pallas_fused(a, b)
+        return bell_spmm_pallas_fused(
+            a, b, compute_dtype=compute_dtype, precision=precision
+        )
+    # XLA fallback honors compute_dtype the same way the kernels do: stream
+    # both operands at the reduced width, accumulate in out_dtype.
+    blocks = a.blocks if compute_dtype is None else a.blocks.astype(compute_dtype)
     panels = b.reshape(a.nb, a.bsz, k)[a.cols.reshape(-1)].reshape(
         a.nb, a.Lb, a.bsz, k
     )
-    out = jnp.einsum("rlij,rljk->rik", a.blocks, panels)
+    if compute_dtype is not None:
+        panels = panels.astype(compute_dtype)
+    out = jnp.einsum(
+        "rlij,rljk->rik", blocks, panels,
+        preferred_element_type=out_dtype,
+        precision=(precision if precision is not None
+                   else matmul_precision(blocks.dtype, panels.dtype)),
+    )
     return out.reshape(a.n, k).astype(out_dtype)
 
 

@@ -40,6 +40,7 @@ from ..ops.segmented import (
     segment_sum,
 )
 from .coo import COO, coo_normalize
+from ..utils.precision import matmul_precision
 
 __all__ = [
     "BSR",
@@ -448,7 +449,8 @@ def bsr_smvm(a: BSR, v: jax.Array) -> jax.Array:
         return jnp.zeros((a.n,), out_dtype)
     valid, r, c = _rc(a)
     vb = v.reshape(nb, bsz)[c]  # (nbz, bsz); padding c=0 but block is zero
-    w = jnp.einsum("bij,bj->bi", a.blocks, vb).astype(out_dtype)
+    w = jnp.einsum("bij,bj->bi", a.blocks, vb,
+                   precision=matmul_precision(a.dtype, vb.dtype)).astype(out_dtype)
     return segment_sum(w, r, nb).reshape(a.n)
 
 
@@ -482,6 +484,7 @@ def bsr_smsmm_core(a: BSR, b: BSR, expansion_nbz: int) -> BSR:
     prods = jnp.einsum(
         "fij,fjk->fik", a.blocks[e], b.blocks[b_pos],
         preferred_element_type=out_dtype,
+        precision=matmul_precision(a.dtype, b.dtype),
     )
     target = jnp.where(
         live & valid_a[e], a_r[e] * nb + b_c[b_pos], nb * nb

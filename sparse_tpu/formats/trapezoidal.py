@@ -34,6 +34,7 @@ import numpy as np
 
 from ..ops.segmented import INDEX_DTYPE
 from .triangular import _unrank_rows
+from ..utils.precision import matmul_precision
 
 __all__ = [
     "Trapezoidal",
@@ -291,7 +292,8 @@ def _trap_smm_blocked(ad: jax.Array, bd: jax.Array, n: int, m: int, k: int,
         def inner(bt, acc):
             ab = _trap_block(ad, n, m, bi, bt, B, out_dtype)
             bb = _trap_block(bd, m, k, bt, bj, B, out_dtype)
-            return acc + jnp.matmul(ab, bb, preferred_element_type=out_dtype)
+            return acc + jnp.matmul(ab, bb, preferred_element_type=out_dtype,
+                                    precision=matmul_precision(out_dtype))
 
         acc = jax.lax.fori_loop(
             bj, jnp.minimum(bi + 1, mb), inner, jnp.zeros((B, B), out_dtype)
@@ -358,7 +360,8 @@ def trap_smm(a: Trapezoidal, b: Trapezoidal) -> Trapezoidal:
         return Trapezoidal(data=data, n=n, m=k, lower=a.lower)
     da = trap_todense(a).astype(out_dtype)
     db = trap_todense(b).astype(out_dtype)
-    dc = jnp.matmul(da, db, preferred_element_type=out_dtype)
+    dc = jnp.matmul(da, db, preferred_element_type=out_dtype,
+                    precision=matmul_precision(out_dtype))
     return trap_from_dense(dc, lower=a.lower)
 
 

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.segmented import INDEX_DTYPE
+from ..utils.precision import matmul_precision
 
 __all__ = [
     "Triangular",
@@ -280,7 +281,8 @@ def _tri_smm_blocked(ad: jax.Array, bd: jax.Array, n: int, out_dtype,
         def inner(bk, acc):
             ab = _tri_block(ad, n, bi, bk, B, out_dtype)
             bb = _tri_block(bd, n, bk, bj, B, out_dtype)
-            return acc + jnp.matmul(ab, bb, preferred_element_type=out_dtype)
+            return acc + jnp.matmul(ab, bb, preferred_element_type=out_dtype,
+                                    precision=matmul_precision(out_dtype))
 
         acc = jax.lax.fori_loop(
             bj, bi + 1, inner, jnp.zeros((B, B), out_dtype)
@@ -331,7 +333,8 @@ def tri_smm(a: Triangular, b: Triangular) -> Triangular:
         return Triangular(data=data, n=n, lower=a.lower)
     da = tri_todense(a).astype(out_dtype)
     db = tri_todense(b).astype(out_dtype)
-    dc = jnp.matmul(da, db, preferred_element_type=out_dtype)
+    dc = jnp.matmul(da, db, preferred_element_type=out_dtype,
+                    precision=matmul_precision(out_dtype))
     return tri_from_dense(dc, lower=a.lower)
 
 

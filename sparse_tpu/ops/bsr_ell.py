@@ -24,6 +24,7 @@ import numpy as np
 
 from ..formats.bsr import BSR
 from .segmented import INDEX_DTYPE
+from ..utils.precision import matmul_precision
 
 __all__ = ["bsr_row_capacity", "bsr_smvm_ell", "bsr_spmm_ell"]
 
@@ -74,7 +75,8 @@ def bsr_smvm_ell(a: BSR, v: jax.Array, Lb: int) -> jax.Array:
         return jnp.zeros((a.n,), out_dtype)
     blocks, cols, _ = _block_windows(a, Lb)
     vb = v.reshape(a.nb, a.bsz)[cols.reshape(-1)].reshape(a.nb, Lb, a.bsz)
-    out = jnp.einsum("rlij,rlj->ri", blocks, vb)
+    out = jnp.einsum("rlij,rlj->ri", blocks, vb,
+                     precision=matmul_precision(blocks.dtype, vb.dtype))
     return out.reshape(a.n).astype(out_dtype)
 
 
@@ -92,5 +94,6 @@ def bsr_spmm_ell(a: BSR, b: jax.Array, Lb: int) -> jax.Array:
     panels = b.reshape(a.nb, a.bsz, k)[cols.reshape(-1)].reshape(
         a.nb, Lb, a.bsz, k
     )
-    out = jnp.einsum("rlij,rljk->rik", blocks, panels)
+    out = jnp.einsum("rlij,rljk->rik", blocks, panels,
+                     precision=matmul_precision(blocks.dtype, panels.dtype))
     return out.reshape(a.n, k).astype(out_dtype)

@@ -32,20 +32,25 @@ __all__ = ["bell_spmm_pallas", "bell_spmm_pallas_fused",
            "build_banded_plan", "BandedPlan", "bell_spmm_pallas_banded"]
 
 
-def _kernel(cols_ref, blk_ref, panel_ref, o_ref):
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
+def _make_kernel(prec):
+    def _kernel(cols_ref, blk_ref, panel_ref, o_ref):
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
 
-    o_ref[...] += jax.lax.dot_general(
-        blk_ref[0, 0],
-        panel_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=o_ref.dtype,
-    )[None]
+        o_ref[...] += jax.lax.dot_general(
+            blk_ref[0, 0],
+            panel_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=o_ref.dtype,
+            precision=prec,
+        )[None]
+
+    return _kernel
 
 
-def bell_spmm_pallas(a: BELL, b: jax.Array, *, interpret: bool = False) -> jax.Array:
+def bell_spmm_pallas(a: BELL, b: jax.Array, *, precision=None,
+                     interpret: bool = False) -> jax.Array:
     """C[n, k] = A @ B with A blocked-ELL; one grid step per stored block.
 
     ``b`` must have k >= 128-friendly width for best MXU utilization; any k
@@ -76,7 +81,7 @@ def bell_spmm_pallas(a: BELL, b: jax.Array, *, interpret: bool = False) -> jax.A
         out_specs=pl.BlockSpec((1, bsz, k), lambda r, l, cols: (r, 0, 0)),
     )
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(_resolve_precision(precision, out_dtype)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, bsz, k), out_dtype),
         interpret=interpret,
@@ -84,8 +89,21 @@ def bell_spmm_pallas(a: BELL, b: jax.Array, *, interpret: bool = False) -> jax.A
     return out.reshape(a.n, k)
 
 
+def _resolve_precision(precision, stream_dtype):
+    """Correct-by-default MXU precision: full f32 passes for f32 streams
+    (the MXU's default single bf16 pass loses ~3 decimal digits — measured
+    1.2e-2 relative on the bench matrix, far outside the library's f32
+    contract); explicit ``compute_dtype=bf16`` or ``precision=`` opts into
+    the fast path."""
+    if precision is not None:
+        return precision
+    if jnp.dtype(stream_dtype) == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return None
+
+
 def bell_spmm_pallas_fused(a: BELL, b: jax.Array, *,
-                           compute_dtype=None,
+                           compute_dtype=None, precision=None,
                            interpret: bool = False) -> jax.Array:
     """Fused variant: ONE grid step per block *row* — all Lb window panels
     arrive via Lb scalar-prefetch-driven DMAs and feed a single
@@ -112,6 +130,8 @@ def bell_spmm_pallas_fused(a: BELL, b: jax.Array, *,
         stream_dtype
     )
 
+    prec = _resolve_precision(precision, stream_dtype)
+
     def kernel(cols_ref, lhs_ref, *rest):
         panel_refs, o_ref = rest[:-1], rest[-1]
         acc = jax.lax.dot_general(
@@ -119,6 +139,7 @@ def bell_spmm_pallas_fused(a: BELL, b: jax.Array, *,
             panel_refs[0][0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=o_ref.dtype,
+            precision=prec,
         )
         for l in range(1, len(panel_refs)):
             acc += jax.lax.dot_general(
@@ -126,6 +147,7 @@ def bell_spmm_pallas_fused(a: BELL, b: jax.Array, *,
                 panel_refs[l][0],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=o_ref.dtype,
+                precision=prec,
             )
         o_ref[...] = acc[None]
 
@@ -276,6 +298,7 @@ def _densify_band_tiles(a: BELL, plan: "BandedPlan", stream_dtype):
 
 def bell_spmm_pallas_banded(a: BELL, b: jax.Array, plan: "BandedPlan", *,
                             compute_dtype=None, tiles: jax.Array | None = None,
+                            precision=None,
                             interpret: bool = False) -> jax.Array:
     """Banded/consecutive-column SpMM: one wide MXU matmul per row tile.
 
@@ -312,12 +335,15 @@ def bell_spmm_pallas_banded(a: BELL, b: jax.Array, plan: "BandedPlan", *,
         tiles = _densify_band_tiles(a, plan, stream_dtype)
     b3 = b.reshape(nb, bsz, k).astype(stream_dtype)
 
+    prec = _resolve_precision(precision, stream_dtype)
+
     def kernel(start_ref, t_ref, win_ref, o_ref):
         o_ref[0] = jax.lax.dot_general(
             t_ref[0],
             win_ref[...].reshape(W * bsz, k),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=o_ref.dtype,
+            precision=prec,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -30,6 +30,7 @@ import numpy as np
 
 from ..formats.csr import CSR
 from .segmented import INDEX_DTYPE
+from ..utils.precision import matmul_precision
 
 __all__ = [
     "csr_smvm_ell",
@@ -91,7 +92,8 @@ def csr_spmm_ell(a: CSR, b: jax.Array, L: int) -> jax.Array:
     # flat row-gather: each gathered element is a contiguous k-wide row of b,
     # which amortizes TPU per-gather cost (measured ~100 GB/s eff at k=128)
     gathered = b[idx.reshape(-1)].reshape(*idx.shape, k)
-    return jnp.einsum("nl,nlk->nk", val, gathered)
+    return jnp.einsum("nl,nlk->nk", val, gathered,
+                      precision=matmul_precision(val.dtype, b.dtype))
 
 
 @partial(
@@ -202,7 +204,8 @@ def csr_spmm_fast(a: CSR, b: jax.Array, plan: SpmvPlan | None = None,
 
     def kernel(idx, val, b):
         g = b[idx.reshape(-1)].reshape(*idx.shape, b.shape[1])
-        return jnp.einsum("nl,nlk->nk", val, g)
+        return jnp.einsum("nl,nlk->nk", val, g,
+                          precision=matmul_precision(val.dtype, b.dtype))
 
     vals = _apply_plan(a, b, plan, kernel, row_chunk)
     out = jnp.zeros((n, b.shape[1]), out_dtype)

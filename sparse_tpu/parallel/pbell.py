@@ -20,6 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..formats.bell import BELL
 from .pcsr import put_sharded
+from ..utils.precision import matmul_precision
 
 __all__ = [
     "PBELL",
@@ -99,7 +100,8 @@ def _pbell_smvm_exec(cols_g, blocks_g, v, *, mesh, ax, nb_pad, rows_p, Lb, bsz):
         v2 = v_full.reshape(nb_pad, bsz)
         c = cols[0]  # (rows_p, Lb)
         vb = v2[c.reshape(-1)].reshape(rows_p, Lb, bsz)
-        out = jnp.einsum("rlij,rlj->ri", blocks[0], vb)
+        out = jnp.einsum("rlij,rlj->ri", blocks[0], vb,
+                         precision=matmul_precision(blocks.dtype, vb.dtype))
         return out.reshape(1, rows_p * bsz)
 
     f = shard_map(
@@ -129,7 +131,8 @@ def _pbell_spmm_exec(cols_g, blocks_g, b, *, mesh, ax, nb_pad, rows_p, Lb, bsz):
         b3 = b_full.reshape(nb_pad, bsz, k)
         c = cols[0]
         panels = b3[c.reshape(-1)].reshape(rows_p, Lb, bsz, k)
-        out = jnp.einsum("rlij,rljk->rik", blocks[0], panels)
+        out = jnp.einsum("rlij,rljk->rik", blocks[0], panels,
+                         precision=matmul_precision(blocks.dtype, panels.dtype))
         return out.reshape(1, rows_p * bsz, k)
 
     f = shard_map(

@@ -43,6 +43,7 @@ from ..linalg.dense import (
     rowsolve_upper,
 )
 from ..ops.segmented import INDEX_DTYPE
+from ..utils.precision import matmul_precision
 
 __all__ = [
     "bsr_lu_find_fills",
@@ -206,6 +207,7 @@ def _lu_numeric(a: BSR, pivot: bool) -> tuple[BSR, jax.Array]:
         prods = jnp.einsum(
             "fij,fjk->fik", blocks[s1[i]], blocks[s2[i]],
             preferred_element_type=blocks.dtype,
+            precision=matmul_precision(blocks.dtype),
         )
         blocks = blocks.at[st[i]].add(-prods)
         if pivot:
@@ -384,6 +386,7 @@ def _tri_sweep(t: BSR, b: jax.Array, plan: TriSolvePlan) -> jax.Array:
         contrib = jnp.einsum(
             "bij,bjk->ik", ext[plan.off_pos[k]], y[plan.off_col[k]],
             preferred_element_type=y.dtype,
+            precision=matmul_precision(y.dtype),
         )
         rhs = solve(ext[plan.diag_pos[k]], y[k] - contrib)
         return y.at[k].set(rhs)
