@@ -21,13 +21,19 @@ def main():
     from sparse_tpu.ops.spgemm import spgemm_csr_csr, spgemm_flops, spgemm_products
     from sparse_tpu.ops.segmented import INDEX_DTYPE
 
+    print(f"backend: {jax.default_backend()}", flush=True)
     rng = np.random.default_rng(2)
     n = 2_000
     x = (rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.01)).astype(
         np.float32
     )
+    t0 = time.perf_counter()
     a = csr_from_dense(jnp.asarray(x))
+    a.data.block_until_ready()
+    print(f"csr_from_dense: {time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
     f = int(spgemm_flops(a, a))
+    print(f"symbolic pass: {time.perf_counter() - t0:.1f}s", flush=True)
     print(f"n={n} nnz={int((x != 0).sum())} F={f}", flush=True)
     flops = 2.0 * float((x != 0).sum(0) @ (x != 0).sum(1))
 

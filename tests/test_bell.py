@@ -72,3 +72,20 @@ def test_bell_from_csr_reblock():
     np.testing.assert_allclose(
         np.asarray(bell_smvm(e, v)), x @ np.asarray(v), rtol=1e-10, atol=1e-12
     )
+
+
+@pytest.mark.parametrize("n,bsz,density", [(32, 4, 0.4), (64, 8, 0.2)])
+def test_bell_smvm_prepared_matches(n, bsz, density):
+    from sparse_tpu.formats.bell import SmvmKit, bell_smvm_prepare
+
+    a, xa = random_bsr(n, bsz, density, seed=7 * n)
+    e = bell_from_bsr(a)
+    kit = bell_smvm_prepare(e)
+    assert isinstance(kit, SmvmKit)
+    v = jnp.asarray(np.random.default_rng(3).standard_normal(n))
+    ref = np.asarray(bell_smvm(e, v))
+    np.testing.assert_allclose(np.asarray(bell_smvm(kit, v)), ref, rtol=1e-12)
+    # kit is a pytree: jit with it as an argument
+    got = jax.jit(bell_smvm)(kit, v)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-12)
+    np.testing.assert_allclose(ref, xa @ np.asarray(v), rtol=1e-10, atol=1e-12)
