@@ -221,14 +221,18 @@ def bench_spgemm(quick):
         np.float32
     )
     a = csr_from_dense(jnp.asarray(x))
-    spgemm(a, a).data.block_until_ready()  # warm (compile + plan)
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spgemm(a, a).data.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
     flops = 2.0 * float((x != 0).sum(0) @ (x != 0).sum(1))
-    emit("spgemm_aa_gflops", flops / best / 1e9, "GFLOP/s")
+    for method in ("mxu", "esc"):
+        # scalar fetch each call: block_until_ready does not force execution
+        # over the axon tunnel (docs/performance.md)
+        float(jnp.sum(spgemm(a, a, method=method).data))  # warm
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(spgemm(a, a, method=method).data))
+            best = min(best, time.perf_counter() - t0)
+        suffix = "" if method == "mxu" else "_esc"
+        emit(f"spgemm_aa{suffix}_gflops", flops / best / 1e9, "GFLOP/s")
 
 
 def bench_distributed():

@@ -25,8 +25,21 @@ import jax
 import jax.numpy as jnp
 
 from ..formats.coo import COO
-from ..formats.csr import CSC, CSR, csr_from_coo, csr_to_coo, _csc_as_csr_t
-from .segmented import INDEX_DTYPE, expand, row_ids_from_indptr
+from ..formats.csr import (
+    CSC,
+    CSR,
+    _csc_as_csr_t,
+    csr_empty,
+    csr_from_coo,
+    csr_to_coo,
+)
+from ..utils.precision import matmul_precision
+from .segmented import (
+    INDEX_DTYPE,
+    cumsum_exclusive,
+    expand,
+    row_ids_from_indptr,
+)
 
 
 def _csc_to_csr(b: CSC) -> CSR:
@@ -107,6 +120,117 @@ def spgemm_products(a: CSR, b_data, b_indices, b_starts, b_lens, k: int,
     return COO(row=row, col=col, data=val.astype(out_dtype), shape=(n, k))
 
 
+# -- MXU (dense-accumulator) path ---------------------------------------------
+#
+# TPU-first observation: at moderate dimensions the ESC path is dominated not
+# by arithmetic but by the lax.sort that merges duplicate (row, col) products
+# — a sort the MXU can make unnecessary.  Densify both operands (values AND a
+# stored-entry indicator), do two dense matmuls (value product + pattern
+# count), then compact the count>0 mask straight into row-major CSR with one
+# cumsum.  The "wasted" dense FLOPs run at MXU rates, which at n,m,k ≲ 4k is
+# orders of magnitude cheaper than sorting F product pairs.  Semantics match
+# the ESC path (compressed.fut:268-331): an output entry is *stored* iff some
+# stored A entry meets a stored B entry (even when values cancel or are zero).
+
+_MXU_DENSE_ELEMS = 64 * 1024 * 1024
+"""Auto-dispatch budget: total dense elements (n*m + m*k + n*k) the MXU path
+may materialize (~768 MB at f32 across the three temporaries)."""
+
+
+def _dense_values(a: CSR) -> jax.Array:
+    """Dense [n, m] values (duplicates summed, padding dropped)."""
+    n, m = a.shape
+    rows = row_ids_from_indptr(a.indptr, a.nse)
+    flat = jnp.where(rows < n, rows * m + a.indices, n * m).astype(INDEX_DTYPE)
+    return jnp.zeros((n * m + 1,), a.dtype).at[flat].add(a.data)[:-1].reshape(n, m)
+
+
+def _dense_pattern(a: CSR) -> jax.Array:
+    """Dense [n, m] stored-entry indicator (1.0 where at least one stored
+    entry, including explicit zeros; 0.0 elsewhere)."""
+    n, m = a.shape
+    rows = row_ids_from_indptr(a.indptr, a.nse)
+    flat = jnp.where(rows < n, rows * m + a.indices, n * m).astype(INDEX_DTYPE)
+    return (
+        jnp.zeros((n * m + 1,), jnp.float32).at[flat].max(1.0)[:-1].reshape(n, m)
+    )
+
+
+def _pattern_mask(a: CSR, b: CSR) -> jax.Array:
+    """Boolean [n, k] mask of stored output entries of A @ B.
+
+    The count matmul is exact at default (one-pass bf16) precision: every
+    product is 1.0*1.0 (exact in bf16) and the MXU accumulates in f32, so
+    the result is exactly the integer pair count for counts < 2**24 — and
+    the mask only asks count > 0."""
+    return jnp.matmul(_dense_pattern(a), _dense_pattern(b)) > 0.5
+
+
+def _csr_from_dense_mask(vals: jax.Array, mask: jax.Array, cap: int) -> CSR:
+    """Compact a dense value matrix + stored mask into CSR (capacity ``cap``)
+    with a single cumsum — no sort.  If the true stored count exceeds ``cap``
+    the result is truncated in row-major order (indptr clamped)."""
+    n, k = vals.shape
+    fm = mask.reshape(-1)
+    pos = jnp.cumsum(fm.astype(INDEX_DTYPE)) - 1
+    total = pos[-1] + 1
+    flat_ids = jnp.arange(n * k, dtype=INDEX_DTYPE)
+    tgt = jnp.where(fm, jnp.minimum(pos, cap), cap)
+    packed = jnp.zeros((cap + 1,), INDEX_DTYPE).at[tgt].set(flat_ids)[:cap]
+    live = jnp.arange(cap, dtype=INDEX_DTYPE) < jnp.minimum(total, cap)
+    indices = jnp.where(live, packed % k, 0).astype(INDEX_DTYPE)
+    data = jnp.where(live, vals.reshape(-1)[packed], jnp.zeros((), vals.dtype))
+    indptr = jnp.minimum(
+        cumsum_exclusive(jnp.sum(mask, axis=1, dtype=INDEX_DTYPE)), cap
+    )
+    return CSR(data=data, indices=indices, indptr=indptr, shape=(n, k))
+
+
+@jax.jit
+def spgemm_mxu_nse(a: CSR, b: CSR) -> jax.Array:
+    """Stored-entry count of A @ B via the pattern matmul (the MXU path's
+    symbolic pass; eager callers concretize it to size the numeric pass)."""
+    n, m = a.shape
+    _, k = b.shape
+    if a.nse == 0 or b.nse == 0 or n == 0 or m == 0 or k == 0:
+        return jnp.zeros((), INDEX_DTYPE)
+    return jnp.sum(_pattern_mask(a, b), dtype=INDEX_DTYPE)
+
+
+@partial(jax.jit, static_argnames=("out_nse",))
+def spgemm_mxu_csr_csr(a: CSR, b: CSR, out_nse: int) -> CSR:
+    """jit-compatible MXU SpGEMM core: C = A @ B, both row-compressed.
+
+    ``out_nse`` is the static result capacity (>= the true stored count, see
+    :func:`spgemm_mxu_nse`; short capacities truncate row-major).  Caveat vs
+    the ESC path: the dense value matmul touches *unstored* positions as 0.0,
+    so non-finite stored values (inf/nan) can propagate to output entries the
+    pair-wise ESC path leaves untouched.  Finite data is bit-compatible up to
+    summation order."""
+    n, m = a.shape
+    m2, k = b.shape
+    if m != m2:
+        raise ValueError(f"spgemm: inner dims {a.shape} @ {b.shape}")
+    out_dtype = jnp.result_type(a.dtype, b.dtype)
+    if out_nse == 0 or a.nse == 0 or b.nse == 0 or n == 0 or m == 0 or k == 0:
+        return csr_empty(n, k, out_nse, out_dtype)
+    av = _dense_values(a).astype(out_dtype)
+    bv = _dense_values(b).astype(out_dtype)
+    cv = jnp.matmul(av, bv, precision=matmul_precision(av.dtype, bv.dtype))
+    return _csr_from_dense_mask(cv.astype(out_dtype), _pattern_mask(a, b), out_nse)
+
+
+def _mxu_eligible(a: CSR, b: CSR) -> bool:
+    n, m = a.shape
+    _, k = b.shape
+    dense_elems = n * m + m * k + n * k
+    return (
+        jnp.issubdtype(jnp.result_type(a.dtype, b.dtype), jnp.inexact)
+        and dense_elems <= _MXU_DENSE_ELEMS
+        and max(n * m, m * k, n * k) < 2**31  # int32 flat indices
+    )
+
+
 @partial(jax.jit, static_argnames=("expansion_nse",))
 def spgemm_csr_csr(a: CSR, b: CSR, expansion_nse: int) -> CSR:
     """jit-compatible ESC SpGEMM core: C = A @ B, both row-compressed.
@@ -139,24 +263,44 @@ def spgemm_csr_csr(a: CSR, b: CSR, expansion_nse: int) -> CSR:
     return csr_from_coo(prods)
 
 
-def spgemm(a: CSR, b, *, expansion_nse: int | None = None, compact: bool = True) -> CSR:
+def spgemm(
+    a: CSR,
+    b,
+    *,
+    expansion_nse: int | None = None,
+    compact: bool = True,
+    method: str = "auto",
+) -> CSR:
     """C = A @ B for sparse A (CSR) and sparse B (CSC or CSR).
 
     Matches the reference's ``smsmm`` contract (CSR x CSC -> CSR,
     compressed.fut:268-331).  With ``expansion_nse=None`` the symbolic pass
     runs eagerly (host sync) to size the numeric pass exactly; pass a static
-    bound to stay fully jit-compatible.  ``compact`` (eager only) trims the
-    result capacity to the exact stored-entry count.
+    bound to stay fully jit-compatible (the ESC core, with result capacity
+    ``expansion_nse``).  ``compact`` (eager only) trims the result capacity
+    to the exact stored-entry count.
+
+    ``method``: ``"auto"`` (default) picks the sort-free MXU dense-accumulator
+    core for float matrices whose dense footprint fits the budget
+    (``_MXU_DENSE_ELEMS``), else the ESC expand-sort-compress core;
+    ``"mxu"`` / ``"esc"`` force a core.  Both produce identical stored
+    structure; values agree up to float summation order.
     """
     b_rows = _csc_to_csr(b) if isinstance(b, CSC) else b
     if not isinstance(b_rows, CSR):
         raise TypeError(f"spgemm: expected CSR/CSC operand, got {type(b)}")
-    if expansion_nse is None:
-        f = int(spgemm_flops(a, b_rows))  # host sync (symbolic pass)
-        out = spgemm_csr_csr(a, b_rows, f)
-        if compact:
-            from ..formats.csr import csr_compact
+    if method not in ("auto", "mxu", "esc"):
+        raise ValueError(f"spgemm: unknown method {method!r}")
+    if expansion_nse is not None:
+        return spgemm_csr_csr(a, b_rows, expansion_nse)
+    use_mxu = method == "mxu" or (method == "auto" and _mxu_eligible(a, b_rows))
+    if use_mxu:
+        nse = int(spgemm_mxu_nse(a, b_rows))  # host sync (symbolic pass)
+        return spgemm_mxu_csr_csr(a, b_rows, nse)
+    f = int(spgemm_flops(a, b_rows))  # host sync (symbolic pass)
+    out = spgemm_csr_csr(a, b_rows, f)
+    if compact:
+        from ..formats.csr import csr_compact
 
-            out = csr_compact(out)
-        return out
-    return spgemm_csr_csr(a, b_rows, expansion_nse)
+        out = csr_compact(out)
+    return out

@@ -88,6 +88,96 @@ def test_spgemm_cancellation_keeps_stored_zero():
 
 
 # ---------------------------------------------------------------------------
+# MXU (dense-accumulator, sort-free) SpGEMM core
+# ---------------------------------------------------------------------------
+from sparse_tpu.ops.spgemm import spgemm_mxu_csr_csr, spgemm_mxu_nse  # noqa: E402
+
+
+@pytest.mark.parametrize("n,m,k,at,bt,expected", SMSMM_CASES)
+def test_smsmm_golden_mxu(n, m, k, at, bt, expected):
+    A = st.csr_from_triples(n, m, at, dtype=np.float64)
+    B = st.csc_from_triples(m, k, bt, dtype=np.float64)
+    C = spgemm(A, B, method="mxu")
+    np.testing.assert_array_equal(dense(C), np.asarray(expected, np.float64))
+
+
+@pytest.mark.parametrize("method", ["esc", "mxu"])
+def test_spgemm_methods_vs_scipy(method):
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        n, m, k = (int(x) for x in rng.integers(1, 40, size=3))
+        da = sp.random(n, m, density=0.2, random_state=rng, dtype=np.float64)
+        db = sp.random(m, k, density=0.2, random_state=rng, dtype=np.float64)
+        A = st.csr_from_dense(jnp.asarray(da.toarray()))
+        B = st.csr_from_dense(jnp.asarray(db.toarray()))
+        C = spgemm(A, B, method=method)
+        np.testing.assert_allclose(dense(C), (da @ db).toarray(), rtol=1e-12)
+
+
+def test_spgemm_mxu_structure_matches_esc():
+    # identical stored structure (indices/indptr), values equal up to
+    # summation order
+    rng = np.random.default_rng(5)
+    da = sp.random(30, 25, density=0.15, random_state=rng, dtype=np.float64)
+    db = sp.random(25, 35, density=0.15, random_state=rng, dtype=np.float64)
+    A = st.csr_from_dense(jnp.asarray(da.toarray()))
+    B = st.csr_from_dense(jnp.asarray(db.toarray()))
+    Ce = spgemm(A, B, method="esc")
+    Cm = spgemm(A, B, method="mxu")
+    assert Cm.nse == int(Ce.indptr[-1])
+    np.testing.assert_array_equal(np.asarray(Cm.indptr), np.asarray(Ce.indptr))
+    np.testing.assert_array_equal(
+        np.asarray(Cm.indices), np.asarray(Ce.indices[: Cm.nse])
+    )
+    np.testing.assert_allclose(
+        np.asarray(Cm.data), np.asarray(Ce.data[: Cm.nse]), rtol=1e-12
+    )
+
+
+def test_spgemm_mxu_cancellation_keeps_stored_zero():
+    A = st.csr_from_triples(1, 2, [(0, 0, 1.0), (0, 1, 1.0)])
+    B = st.csc_from_triples(2, 1, [(0, 0, 1.0), (1, 0, -1.0)])
+    C = spgemm(A, B, method="mxu")
+    np.testing.assert_array_equal(dense(C), [[0.0]])
+    assert int(st.csr_nnz(C)) == 0
+    assert int(C.indptr[-1]) == 1  # the explicit zero occupies a slot
+
+
+def test_spgemm_mxu_jit_static_capacity():
+    A = st.csr_from_triples(2, 2, [(0, 0, 1.0), (0, 1, 7.0), (1, 0, 2.0), (1, 1, 4.0)])
+    Br = st.csr_from_triples(2, 2, [(0, 0, 3.0), (0, 1, 3.0), (1, 0, 5.0), (1, 1, 2.0)])
+    nse = int(spgemm_mxu_nse(A, Br))
+    assert nse == 4
+    C = jax.jit(spgemm_mxu_csr_csr, static_argnums=2)(A, Br, nse)
+    np.testing.assert_array_equal(dense(C), [[38.0, 17.0], [26.0, 14.0]])
+    # over-capacity pads; the dense view is unchanged
+    C8 = spgemm_mxu_csr_csr(A, Br, 8)
+    assert C8.nse == 8
+    np.testing.assert_array_equal(dense(C8), [[38.0, 17.0], [26.0, 14.0]])
+
+
+def test_spgemm_mxu_capacity_truncation_row_major():
+    A = st.csr_from_triples(2, 2, [(0, 0, 1.0), (0, 1, 7.0), (1, 0, 2.0), (1, 1, 4.0)])
+    Br = st.csr_from_triples(2, 2, [(0, 0, 3.0), (0, 1, 3.0), (1, 0, 5.0), (1, 1, 2.0)])
+    C = spgemm_mxu_csr_csr(A, Br, 3)  # true count is 4: drops (1,1)
+    np.testing.assert_array_equal(dense(C), [[38.0, 17.0], [26.0, 0.0]])
+    assert int(C.indptr[-1]) == 3
+
+
+def test_spgemm_auto_dispatch():
+    # floats within budget -> MXU (exact-capacity result); ints -> ESC
+    rng = np.random.default_rng(6)
+    da = sp.random(20, 20, density=0.2, random_state=rng, dtype=np.float32)
+    A = st.csr_from_dense(jnp.asarray(da.toarray()))
+    C = spgemm(A, A)
+    np.testing.assert_allclose(dense(C), (da @ da).toarray(), rtol=1e-5, atol=1e-6)
+    Ai = st.csr_from_triples(2, 2, [(0, 0, 3), (1, 1, 4)], dtype=np.int64)
+    Ci = spgemm(Ai, Ai)
+    assert Ci.dtype == np.int64
+    np.testing.assert_array_equal(dense(Ci), [[9, 0], [0, 16]])
+
+
+# ---------------------------------------------------------------------------
 # SpMM
 # ---------------------------------------------------------------------------
 def test_spmm_vs_scipy():
