@@ -20,11 +20,12 @@ dense product on this host (BASELINE.md names the SciPy re-execution of the
 reference's semantics as the baseline; the Futhark reference publishes no
 numbers and is not runnable here).
 
-Timing is dependency-chained inside one jit (iterate B <- normalize(A B)) so
-nothing can be hoisted or overlapped away; the remote-TPU tunnel's async
-dispatch makes naive per-call timing report impossible numbers.  All device
-operands are passed as jit arguments — closure constants get embedded in the
-compile payload and overflow the tunnel's upload limit.
+Timing is dependency-chained inside one jit (iterate B <- A B; the operator
+is 0.01-scaled so a 5-step chain stays numerically tame) so nothing can be
+hoisted or overlapped away; the remote-TPU tunnel's async dispatch makes
+naive per-call timing report impossible numbers.  All device operands are
+passed as jit arguments — closure constants get embedded in the compile
+payload and overflow the tunnel's upload limit.
 """
 
 from __future__ import annotations
@@ -103,11 +104,14 @@ def tpu_time(rows, cols, blocks, b, iters=3):
 
     @jax.jit
     def chain(a, b, plan):
-        def body(_, b):
-            w = bell_spmm(a, b, plan=plan)
-            return w / (jnp.max(jnp.abs(w)) + 1.0)
-
-        return jnp.sum(jax.lax.fori_loop(0, K_CHAIN, body, b))
+        # raw output fed back: each iteration depends on the previous one
+        # (nothing hoistable), and the 0.01-scaled operator keeps a 5-step
+        # chain numerically tame (|w| ~ 0.13 |b| per step).  An elementwise
+        # normalize here would add ~2.5 ms/iter of protocol-only HBM traffic
+        # (read+write 256 MB) that is not part of the measured op.
+        return jnp.sum(
+            jax.lax.fori_loop(0, K_CHAIN, lambda _, b: bell_spmm(a, b, plan=plan), b)
+        )
 
     float(chain(a, bj, plan))  # compile + execute
     best = np.inf

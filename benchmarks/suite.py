@@ -39,11 +39,11 @@ def timed_chain(step, v0, *operands, iters=3):
 
     @jax.jit
     def run(v, *ops):
-        def body(_, v):
-            w = step(v, *ops)
-            return w / (jnp.max(jnp.abs(w)) + 1.0)
-
-        return jnp.sum(jax.lax.fori_loop(0, K_CHAIN, body, v))
+        # raw output fed back (no elementwise normalize): iterations stay
+        # data-dependent, and all suite operators are 0.01-scaled so a
+        # 5-step chain neither overflows nor denormalizes.  The normalize
+        # pass cost ~2.5 ms/iter of protocol-only traffic at SpMM sizes.
+        return jnp.sum(jax.lax.fori_loop(0, K_CHAIN, lambda _, v: step(v, *ops), v))
 
     float(run(v0, *operands))
     best = np.inf

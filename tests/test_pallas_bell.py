@@ -131,6 +131,33 @@ def test_banded_kit_spmm_dispatch():
     )
 
 
+@pytest.mark.parametrize("nb,bsz,hb,rt", [(40, 8, 2, 4), (24, 16, 1, 2)])
+def test_pallas_spmm_banded_super_tiles(nb, bsz, hb, rt):
+    # super-tile grouping (S > 1): one shared operand window per grid step
+    from sparse_tpu.ops.pallas_bell import (
+        bell_spmm_pallas_banded,
+        build_banded_plan,
+    )
+
+    a, x = banded_bell(nb, bsz, hb, seed=nb * 3 + rt)
+    plan = build_banded_plan(a, row_tile=rt)
+    assert plan is not None and plan.S > 1
+    # invariant the kernel slice relies on: 0 <= rel, rel + W <= SW
+    assert int(jnp.min(plan.rel)) >= 0
+    assert int(jnp.max(plan.rel)) + plan.W <= plan.SW
+    assert int(jnp.min(plan.sup)) >= 0
+    assert int(jnp.max(plan.sup)) <= a.nb - plan.SW
+    k = 128
+    b = jnp.asarray(
+        np.random.default_rng(9).standard_normal((nb * bsz, k)).astype(
+            np.float32)
+    )
+    got = bell_spmm_pallas_banded(a, b, plan, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), x @ np.asarray(b), rtol=2e-5, atol=2e-4
+    )
+
+
 def test_pallas_spmm_fused_bf16_stream():
     from sparse_tpu.ops.pallas_bell import bell_spmm_pallas_fused
 
