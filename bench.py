@@ -31,9 +31,19 @@ payload and overflow the tunnel's upload limit.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+
+
+def _mark(stage: str) -> None:
+    """Stage timestamps on stderr: the driver captures them, so a timeout or
+    tunnel stall is attributable to a stage instead of silent."""
+    print(f"[bench {time.time() - _T0:7.1f}s] {stage}", file=sys.stderr,
+          flush=True)
 
 BSZ = 32
 HALF_BAND = 2  # blocks each side of the diagonal
@@ -44,7 +54,14 @@ K_CHAIN = 5
 
 def build_block_band(nb=NB, bsz=BSZ, half_band=HALF_BAND, seed=0):
     """FEM-style block-banded pattern: block row i holds blocks at columns
-    [i-half_band, i+half_band] clamped to [0, nb)."""
+    [i-half_band, i+half_band] clamped to [0, nb).
+
+    Values are drawn from a ~1M-sample normal pool and index-tiled up to the
+    80M-element operand: this host draws normals at ~2M/s, so sampling every
+    element would cost minutes of pure RNG (measured 146 s for the block
+    array alone) without changing what the bench measures.  The pool period
+    (a prime) is coprime to the block count, so no two adjacent block rows
+    repeat the same block."""
     rng = np.random.default_rng(seed)
     rows = []
     cols = []
@@ -56,8 +73,12 @@ def build_block_band(nb=NB, bsz=BSZ, half_band=HALF_BAND, seed=0):
     cols = np.concatenate(cols)
     order = np.lexsort((cols, rows))
     rows, cols = rows[order], cols[order]
-    blocks = rng.standard_normal((rows.size, bsz, bsz)).astype(np.float32) * 0.01
-    b = rng.standard_normal((nb * bsz, K)).astype(np.float32) * 0.01
+    pool = (rng.standard_normal(1021 * bsz * bsz).astype(np.float32) * 0.01)
+    pool = pool.reshape(1021, bsz, bsz)
+    blocks = pool[np.arange(rows.size) % 1021]
+    bpool = (rng.standard_normal(8191 * K).astype(np.float32) * 0.01)
+    bpool = bpool.reshape(8191, K)
+    b = bpool[np.arange(nb * bsz) % 8191]
     return rows, cols, blocks, b
 
 
@@ -87,20 +108,28 @@ def tpu_time(rows, cols, blocks, b, iters=3):
     from sparse_tpu.ops.segmented import INDEX_DTYPE
 
     nb = NB
+    # construct on the HOST (BSR fields as numpy; bell_from_bsr is host-side)
+    # so the matrix crosses the device tunnel exactly once, at BELL creation
+    # — round-tripping 320 MB through a remote-TPU tunnel costs minutes.
     a = bell_from_bsr(
         BSR(
-            indices=jnp.asarray(rows * nb + cols, INDEX_DTYPE),
-            blocks=jnp.asarray(blocks),
+            indices=(rows * nb + cols).astype(INDEX_DTYPE),
+            blocks=blocks,
             n=nb * BSZ,
             bsz=BSZ,
         )
     )
-    bj = jnp.asarray(b)
+    _mark("bell layout on device")
     # banded kit (plan + densified tiles, eager, once per matrix): rt=5
     # divides nb so the kernel output needs no tail slice; None falls back
-    # to the fused kernel
-    plan = (bell_banded_prepare(a, row_tile=5)
+    # to the fused kernel.  slot_valid from the host pattern (row lengths)
+    # keeps the planner from pulling the block array back off the device.
+    lens = np.bincount(rows, minlength=nb)
+    slot_valid = np.arange(a.Lb)[None, :] < lens[:, None]
+    plan = (bell_banded_prepare(a, row_tile=5, slot_valid=slot_valid)
             if jax.default_backend() == "tpu" else None)
+    _mark("banded plan + tiles prepared")
+    bj = jnp.asarray(b)
 
     @jax.jit
     def chain(a, b, plan):
@@ -114,17 +143,21 @@ def tpu_time(rows, cols, blocks, b, iters=3):
         )
 
     float(chain(a, bj, plan))  # compile + execute
+    _mark("chain compiled + first run")
     best = np.inf
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
         float(chain(a, bj, plan))
         best = min(best, time.perf_counter() - t0)
+        _mark(f"timed run {i}")
     return best / K_CHAIN
 
 
 def main():
     rows, cols, blocks, b = build_block_band()
+    _mark("matrix built (host)")
     t_ref = scipy_time(rows, cols, blocks, b)
+    _mark(f"scipy baseline done ({t_ref * 1000:.1f} ms/iter)")
     t_tpu = tpu_time(rows, cols, blocks, b)
     nbz = rows.size
     n = NB * BSZ

@@ -213,12 +213,20 @@ class BandedPlan:
 
 def build_banded_plan(a: BELL, row_tile: int = 8,
                       max_window: int = 64,
-                      max_super_window: int = 128) -> "BandedPlan | None":
+                      max_super_window: int = 128,
+                      slot_valid=None) -> "BandedPlan | None":
     """Plan for matrices whose rows store *consecutive* block columns
     (bands / FEM meshes after BELL layout, where slots are col-sorted with
     zero-padding at the end).  Returns None when some row's valid slots are
     not a consecutive ascending run, or the per-tile window would exceed
     ``max_window`` panels — callers fall back to the fused kernel.
+
+    ``slot_valid`` (optional, host ``(nb, Lb)`` bool): marks the stored
+    (non-padding) slots.  Without it the planner derives validity from
+    ``a.blocks != 0`` — which pulls the whole block array back to the host
+    (320 MB at the bench size, a multi-minute stall through a remote-device
+    tunnel).  Callers that know the layout (e.g. they just built the BELL
+    from host data) should pass it.
     """
     import numpy as np
 
@@ -230,9 +238,18 @@ def build_banded_plan(a: BELL, row_tile: int = 8,
     ntiles = nb_pad // rt
     cols_h = np.zeros((nb_pad, Lb), np.int64)
     cols_h[:nb] = np.asarray(a.cols)
-    blocks_h = np.asarray(a.blocks)
+    if slot_valid is None:
+        blocks_h = np.asarray(a.blocks)
+        slot_valid_in = np.any(blocks_h != 0, axis=(2, 3))
+    else:
+        slot_valid_in = np.asarray(slot_valid, bool)
+        if slot_valid_in.shape != (nb, Lb):
+            raise ValueError(
+                f"build_banded_plan: slot_valid shape {slot_valid_in.shape}"
+                f" != ({nb}, {Lb})"
+            )
     slot_valid = np.zeros((nb_pad, Lb), bool)
-    slot_valid[:nb] = np.any(blocks_h != 0, axis=(2, 3))
+    slot_valid[:nb] = slot_valid_in
     # valid slots must be a prefix (padding at the end) with cols c0, c0+1, ...
     nvalid = slot_valid.sum(axis=1)
     idx = np.arange(Lb)[None, :]
@@ -492,19 +509,23 @@ class BandedKit:
 
 def bell_banded_prepare(a: BELL, row_tile: int | None = None,
                         max_window: int = 64,
-                        compute_dtype=None) -> "BandedKit | None":
+                        compute_dtype=None,
+                        slot_valid=None) -> "BandedKit | None":
     """Eagerly build the banded plan and densified tiles for ``a``.
 
     Returns None when the pattern is not consecutive-column (use the fused
     kernel).  ``row_tile=None`` picks the largest rt <= 8 dividing nb (a
     non-dividing rt pads the output and pays a tail-slice copy).
     ``compute_dtype=jnp.bfloat16`` stores tiles at half width (the kernel
-    then also streams the operand as bf16, accumulating f32)."""
+    then also streams the operand as bf16, accumulating f32).
+    ``slot_valid``: optional host (nb, Lb) bool of stored slots — see
+    :func:`build_banded_plan`."""
     if row_tile is None:
         nb = a.nb
         row_tile = next((rt for rt in (8, 7, 6, 5, 4, 3, 2)
                          if nb % rt == 0), 1) if nb else 8
-    plan = build_banded_plan(a, row_tile=row_tile, max_window=max_window)
+    plan = build_banded_plan(a, row_tile=row_tile, max_window=max_window,
+                             slot_valid=slot_valid)
     if plan is None:
         return None
     dt = jnp.dtype(compute_dtype) if compute_dtype else a.dtype

@@ -171,3 +171,23 @@ def test_pallas_spmm_fused_bf16_stream():
     np.testing.assert_allclose(
         np.asarray(got), xa @ np.asarray(b), rtol=5e-2, atol=5e-2
     )
+
+
+def test_build_banded_plan_slot_valid_host_path():
+    # slot_valid lets callers skip the device->host block pull; the plan must
+    # be identical to the derived-from-blocks one (incl. empty rows)
+    from sparse_tpu.ops.pallas_bell import build_banded_plan
+
+    a, x = banded_bell(20, 8, 2, seed=5, empty_rows=(7,))
+    blocks_h = np.asarray(a.blocks)
+    sv = np.any(blocks_h != 0, axis=(2, 3))
+    p1 = build_banded_plan(a, row_tile=4)
+    p2 = build_banded_plan(a, row_tile=4, slot_valid=sv)
+    assert p1 is not None and p2 is not None
+    for f in ("offs", "start", "rel", "sup"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(p1, f)), np.asarray(getattr(p2, f))
+        )
+    assert (p1.W, p1.rt, p1.S, p1.SW) == (p2.W, p2.rt, p2.S, p2.SW)
+    with pytest.raises(ValueError):
+        build_banded_plan(a, row_tile=4, slot_valid=sv[:, :1])
