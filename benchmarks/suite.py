@@ -167,11 +167,14 @@ def bench_bell(quick):
     cols = np.concatenate(cols)
     order = np.lexsort((cols, rows))
     rows, cols = rows[order], cols[order]
-    blocks = rng.standard_normal((rows.size, bsz, bsz)).astype(np.float32) * 0.01
+    # pooled values (this host draws normals at ~2M/s; see bench.py), and
+    # host-side construction so the matrix crosses the tunnel exactly once
+    pool = (rng.standard_normal(1021 * bsz * bsz).astype(np.float32) * 0.01)
+    blocks = pool.reshape(1021, bsz, bsz)[np.arange(rows.size) % 1021]
     a = bell_from_bsr(
         BSR(
-            indices=jnp.asarray(rows * nb + cols, INDEX_DTYPE),
-            blocks=jnp.asarray(blocks),
+            indices=(rows * nb + cols).astype(INDEX_DTYPE),
+            blocks=blocks,
             n=n,
             bsz=bsz,
         )
@@ -198,7 +201,9 @@ def bench_bell(quick):
 
     from sparse_tpu.ops.pallas_bell import bell_banded_prepare
 
-    plan = (bell_banded_prepare(a, row_tile=5)
+    lens = np.bincount(rows, minlength=nb)
+    slot_valid = np.arange(a.Lb)[None, :] < lens[:, None]
+    plan = (bell_banded_prepare(a, row_tile=5, slot_valid=slot_valid)
             if jax.default_backend() == "tpu" and nb % 5 == 0 else None)
     for k in (32, 64, 128, 256):
         b0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.01)
@@ -208,6 +213,31 @@ def bench_bell(quick):
         eff = (rows.size * (bsz * bsz * 4 + 4 + bsz * k * 4) + n * k * 4) / t / 1e9
         emit(f"bell_spmm_k{k}_gflops", 2 * nnz * k / t / 1e9, "GFLOP/s")
         emit(f"bell_spmm_k{k}_eff_bw", eff, "GB/s", eff / MEASURED_CEILING_GBPS)
+
+    # precision ladder at k=128: the f32 default (HIGHEST = 6-pass bf16 on
+    # the MXU) pays ~half the iteration in matmul passes at this size;
+    # HIGH (3-pass) and bf16 streaming (1-pass + half the matrix/operand
+    # bytes) trade documented accuracy for rate.  Accuracy vs an f64 oracle
+    # is recorded in docs/performance.md.
+    if plan is not None:
+        k = 128
+        b0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.01)
+        model = rows.size * (bsz * bsz * 4 + 4 + bsz * k * 4) + n * k * 4
+        t = timed_chain(
+            lambda b, a, plan: bell_spmm(a, b, plan=plan,
+                                         precision=jax.lax.Precision.HIGH),
+            b0, a, plan,
+        )
+        emit("bell_spmm_k128_f32hi_gflops", 2 * nnz * k / t / 1e9, "GFLOP/s")
+        emit("bell_spmm_k128_f32hi_eff_bw", model / t / 1e9, "GB/s",
+             model / t / 1e9 / MEASURED_CEILING_GBPS)
+        kit16 = bell_banded_prepare(a, row_tile=5, slot_valid=slot_valid,
+                                    compute_dtype=jnp.bfloat16)
+        t = timed_chain(lambda b, a, kit: bell_spmm(a, b, plan=kit),
+                        b0, a, kit16)
+        emit("bell_spmm_k128_bf16_gflops", 2 * nnz * k / t / 1e9, "GFLOP/s")
+        emit("bell_spmm_k128_bf16_eff_bw", model / t / 1e9, "GB/s",
+             model / t / 1e9 / MEASURED_CEILING_GBPS)
 
 
 def bench_spgemm(quick):

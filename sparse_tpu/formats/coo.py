@@ -122,8 +122,23 @@ def coo_sort(a: COO) -> COO:
     """Sort entries by (row, col), padding (sentinel row n) last.
 
     Device-side equivalent of the reference's ``sort_coo`` merge sort
-    (compressed.fut:72-74), using XLA's lexicographic multi-operand sort.
+    (compressed.fut:72-74).  When the fused key ``row * (m+1) + col`` fits the
+    index dtype, sort ONE key instead of two (roughly half the comparator
+    work per sorting-network stage); padding ``(n, m)`` fuses to the maximum
+    key, so it still sorts last.  Relies on the documented invariant
+    ``0 <= col <= m`` — out-of-range columns would alias into other rows.
     """
+    n, m = a.shape
+    if (n + 1) * (m + 1) - 1 <= jnp.iinfo(INDEX_DTYPE).max:
+        w = m + 1
+        key = a.row * w + a.col
+        key, data = jax.lax.sort((key, a.data), num_keys=1)
+        return COO(
+            row=(key // w).astype(INDEX_DTYPE),
+            col=(key % w).astype(INDEX_DTYPE),
+            data=data,
+            shape=a.shape,
+        )
     row, col, data = jax.lax.sort((a.row, a.col, a.data), num_keys=2)
     return COO(row=row, col=col, data=data, shape=a.shape)
 

@@ -15,6 +15,11 @@ import os
 # Must be set before jax is imported anywhere.  (The remote-TPU tunnel env is
 # cleared even earlier, by the _pytest_boot plugin loaded from pytest.ini.)
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The XLA:CPU AOT cache loader logs a scary-but-cosmetic machine-feature
+# mismatch (pseudo-features like +prefer-no-scatter recorded at compile time
+# are absent from the host-feature probe of the SAME machine) once per cache
+# hit; silence C++ logs in test processes.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -33,3 +38,14 @@ if os.environ.get("PYTEST_XDIST_WORKER"):
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+# The suite is compile-dominated (hundreds of small distinct shapes on a slow
+# 4-core host); persist XLA compilations across runs.  Measured: warm cache
+# cuts a full-suite run roughly in half.  The directory is machine-local
+# (gitignored).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

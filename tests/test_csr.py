@@ -149,8 +149,11 @@ def test_csc_transpose():
 # add/sub vs dense oracle; diag; scale
 # ---------------------------------------------------------------------------
 def test_add_sub_scale_diag_random():
+    # one random trial: each distinct (n, m, nse) shape-set compiles the whole
+    # COO-concat-rebuild pipeline afresh (~30 s/trial on this host); breadth
+    # over shapes lives in tests/test_fuzz.py
     rng = np.random.default_rng(0)
-    for trial in range(3):
+    for trial in range(1):
         n, m = int(rng.integers(1, 30)), int(rng.integers(1, 30))
         da = sp.random(n, m, density=0.3, random_state=rng, dtype=np.float64)
         db = sp.random(n, m, density=0.3, random_state=rng, dtype=np.float64)
@@ -219,3 +222,28 @@ def test_grad_through_smvm():
     g = jax.grad(loss)(A.data)
     # d/d a00 (a00*1)^2 = 2*a00 = 4 ; d/d a11 (a11*2)^2 = 2*a11*2*2 = 24
     np.testing.assert_allclose(np.asarray(g), [4.0, 24.0])
+
+
+def test_coo_sort_fused_key_and_wide_fallback():
+    # small shape: fused single-key sort path; huge shape with tiny nse:
+    # (n+1)*(m+1) overflows int32, exercising the 2-key fallback
+    from sparse_tpu.formats.coo import COO, coo_sort
+    from sparse_tpu.ops.segmented import INDEX_DTYPE
+
+    for n, m in [(7, 9), (1_000_000, 3_000_000)]:
+        rng = np.random.default_rng(n % 97)
+        r = rng.integers(0, n, size=17)
+        c = rng.integers(0, m, size=17)
+        # include padding sentinels and a duplicate coordinate
+        r[5], c[5] = n, m
+        r[6], c[6] = r[0], c[0]
+        d = rng.standard_normal(17)
+        a = COO(row=jnp.asarray(r, INDEX_DTYPE), col=jnp.asarray(c, INDEX_DTYPE),
+                data=jnp.asarray(d), shape=(n, m))
+        s = coo_sort(a)
+        rs, cs, ds = np.asarray(s.row), np.asarray(s.col), np.asarray(s.data)
+        order = np.lexsort((c, r))
+        np.testing.assert_array_equal(rs, r[order])
+        np.testing.assert_array_equal(cs, c[order])
+        np.testing.assert_allclose(ds, d[order], rtol=0)
+        assert rs[-1] == n and cs[-1] == m  # padding sorts last

@@ -56,8 +56,10 @@ def test_smsmm_matmul_operator():
 
 
 def test_spgemm_random_vs_scipy():
+    # two trials: every distinct (shape, nse, expansion) recompiles the eager
+    # symbolic+numeric passes; shape breadth lives in tests/test_fuzz.py
     rng = np.random.default_rng(7)
-    for _ in range(4):
+    for _ in range(2):
         n, m, k = (int(x) for x in rng.integers(1, 40, size=3))
         da = sp.random(n, m, density=0.2, random_state=rng, dtype=np.float64)
         db = sp.random(m, k, density=0.2, random_state=rng, dtype=np.float64)
@@ -104,7 +106,7 @@ def test_smsmm_golden_mxu(n, m, k, at, bt, expected):
 @pytest.mark.parametrize("method", ["esc", "mxu"])
 def test_spgemm_methods_vs_scipy(method):
     rng = np.random.default_rng(11)
-    for _ in range(4):
+    for _ in range(2):
         n, m, k = (int(x) for x in rng.integers(1, 40, size=3))
         da = sp.random(n, m, density=0.2, random_state=rng, dtype=np.float64)
         db = sp.random(m, k, density=0.2, random_state=rng, dtype=np.float64)

@@ -221,8 +221,9 @@ def test_trap_smm_blocked_matches_densify():
     from sparse_tpu.formats import trapezoidal as trap_mod
 
     rng = np.random.default_rng(11)
-    for (n, m, k) in [(200, 130, 170), (90, 260, 140), (150, 150, 150),
-                      (130, 70, 210)]:
+    # tall and wide cover both clamping regimes; each (n, m, k, orientation)
+    # compiles the blocked fori_loop pipeline afresh (~10 s on this host)
+    for (n, m, k) in [(200, 130, 170), (90, 260, 140)]:
         for lower in (True, False):
             xa = np.tril(rng.standard_normal((n, m)))
             xb = np.tril(rng.standard_normal((m, k)))
