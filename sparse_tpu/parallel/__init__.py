@@ -6,7 +6,13 @@ from .pcsr import (  # noqa: F401
     pcsr_todense,
     make_1d_mesh,
 )
-from .cg import bicgstab_solve, cg_solve, pcg_solve, power_iteration_step  # noqa: F401
+from .cg import (  # noqa: F401
+    bicgstab_solve,
+    cg_solve,
+    gmres_solve,
+    pcg_solve,
+    power_iteration_step,
+)
 from .halo import (  # noqa: F401
     HaloPCSR,
     HaloPCSROverlap,

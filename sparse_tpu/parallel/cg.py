@@ -21,7 +21,8 @@ from jax.sharding import Mesh
 
 from .pcsr import PCSR, pcsr_spmv
 
-__all__ = ["cg_solve", "pcg_solve", "bicgstab_solve", "power_iteration_step"]
+__all__ = ["cg_solve", "pcg_solve", "bicgstab_solve", "gmres_solve",
+           "power_iteration_step"]
 
 
 def _padded_len(a: PCSR) -> int:
@@ -115,6 +116,30 @@ def bicgstab_solve(a: PCSR, b: jax.Array, mesh: Mesh, *, iters: int = 50):
 
     state = jax.lax.fori_loop(0, iters, lambda _, s: step(s), state)
     return state[0]
+
+
+def gmres_solve(a: PCSR, b: jax.Array, mesh: Mesh, *, inv_diag=None,
+                restart: int = 20, iters: int = 5, tol: float = 0.0):
+    """Restarted GMRES(restart) for general square systems, row-partitioned.
+
+    The Krylov recurrence comes from ``jax.scipy.sparse.linalg.gmres`` (the
+    idiomatic XLA formulation — batched Arnoldi, fixed shapes); this wrapper
+    plugs in the distributed operator: matvecs are :func:`pcsr_spmv` on the
+    mesh-sharded matrix, so GSPMD partitions the whole solve and the only
+    cross-device traffic is the SpMV all-gather plus dot-product psums.
+
+    ``inv_diag`` (optional) enables Jacobi preconditioning, same convention
+    as :func:`pcg_solve` (padded, sharded, zeros in pad slots).  ``tol=0``
+    runs the fixed iteration budget (jit-friendly: no early host sync).
+    ``b`` padded & sharded like ``cg_solve``'s.  Returns the padded
+    row-sharded solution."""
+    from jax.scipy.sparse.linalg import gmres as _gmres
+
+    mv = lambda v: pcsr_spmv(a, v, mesh)
+    precond = (lambda v: inv_diag * v) if inv_diag is not None else None
+    x, _ = _gmres(mv, b, tol=tol, atol=0.0, restart=restart, maxiter=iters,
+                  M=precond, solve_method="batched")
+    return x
 
 
 def power_iteration_step(a: PCSR, v: jax.Array, mesh: Mesh):

@@ -39,13 +39,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 
-# The suite is compile-dominated (hundreds of small distinct shapes on a slow
-# 4-core host); persist XLA compilations across runs.  Measured: warm cache
-# cuts a full-suite run roughly in half.  The directory is machine-local
-# (gitignored).
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: the persistent compilation cache (jax_compilation_cache_dir) was
+# tried here and measured SLOWER than cold compiles for this suite on this
+# host (cold 8:05, fully-warm 9:22 wall): hundreds of small entries where
+# lookup + AOT deserialization rivals recompilation.  Left off deliberately.

@@ -23,11 +23,17 @@ from sparse_tpu.formats.bell import bell_from_bsr, bell_smvm, bell_todense
 from sparse_tpu.ops.spmv import build_spmv_plan, csr_smvm_fast
 
 
-CASES = [(1, 1, 1.0), (2, 7, 0.5), (13, 13, 0.08), (31, 17, 0.33),
-         (64, 64, 0.02), (5, 40, 0.9), (40, 5, 0.15)]
+# quick cases cover the regimes (degenerate, rectangular both ways, sparse
+# and dense fill); the rest are breadth-only and run with -m slow (each
+# distinct shape-set costs ~25 s of XLA compiles on this host)
+CASES = [(1, 1, 1.0), (31, 17, 0.33), (64, 64, 0.02), (5, 40, 0.9)]
+SLOW_CASES = [(2, 7, 0.5), (13, 13, 0.08), (40, 5, 0.15)]
 
 
-@pytest.mark.parametrize("n,m,density", CASES)
+@pytest.mark.parametrize(
+    "n,m,density",
+    CASES + [pytest.param(*c, marks=pytest.mark.slow) for c in SLOW_CASES],
+)
 def test_csr_consistency(n, m, density):
     rng = np.random.default_rng(hash((n, m, int(density * 100))) % 2**32)
     x = rng.standard_normal((n, m)) * (rng.random((n, m)) < density)

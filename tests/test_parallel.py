@@ -39,7 +39,12 @@ def mesh():
     return make_1d_mesh(8)
 
 
-@pytest.mark.parametrize("n,m,density", [(64, 64, 0.2), (100, 80, 0.1), (17, 33, 0.5)])
+@pytest.mark.parametrize(
+    "n,m,density",
+    [(64, 64, 0.2), (17, 33, 0.5),
+     # breadth-only third shape (~30 s of shard_map compiles)
+     pytest.param(100, 80, 0.1, marks=pytest.mark.slow)],
+)
 def test_pcsr_spmv_matches_local(mesh, n, m, density):
     a, xa = random_csr(n, m, density, seed=n)
     pa = pcsr_from_csr(a, mesh)
@@ -340,3 +345,29 @@ def test_pcsr_transpose_roundtrip_device(mesh):
     pt = pcsr_transpose_device(pa, mesh, build_transpose_plan(pa, mesh))
     ptt = pcsr_transpose_device(pt, mesh, build_transpose_plan(pt, mesh))
     np.testing.assert_allclose(np.asarray(pcsr_todense(ptt)), x, rtol=1e-12)
+
+
+def test_gmres_nonsymmetric_with_and_without_jacobi(mesh):
+    from sparse_tpu.parallel import gmres_solve
+
+    rng = np.random.default_rng(53)
+    n = 48
+    x = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.2)
+    A = x + n * np.eye(n)
+    assert not np.allclose(A, A.T)
+    a = csr_from_dense(jnp.asarray(A))
+    pa = pcsr_from_csr(a, mesh)
+    x_true = rng.standard_normal(n)
+    b = A @ x_true
+    bv = shard_vector(jnp.asarray(b), pa, mesh)
+    sol = jax.jit(lambda pa, bv: gmres_solve(pa, bv, mesh, restart=24,
+                                             iters=4))(pa, bv)
+    np.testing.assert_allclose(np.asarray(sol)[:n], x_true, rtol=1e-6,
+                               atol=1e-6)
+    # Jacobi preconditioning: same convention as pcg_solve
+    inv_diag = np.zeros(bv.shape[0])
+    inv_diag[:n] = 1.0 / np.diag(A)
+    idv = shard_vector(jnp.asarray(inv_diag[:n]), pa, mesh)
+    sol2 = gmres_solve(pa, bv, mesh, inv_diag=idv, restart=24, iters=4)
+    np.testing.assert_allclose(np.asarray(sol2)[:n], x_true, rtol=1e-6,
+                               atol=1e-6)
