@@ -19,6 +19,7 @@ symbolic pass before the numeric pass.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -39,6 +40,7 @@ from .segmented import (
     cumsum_exclusive,
     expand,
     row_ids_from_indptr,
+    segment_sum,
 )
 
 
@@ -261,6 +263,147 @@ def spgemm_csr_csr(a: CSR, b: CSR, expansion_nse: int) -> CSR:
         expansion_nse,
     )
     return csr_from_coo(prods)
+
+
+# -- symbolic/numeric split ----------------------------------------------------
+#
+# The sort in the ESC core is a *pattern* computation: which products exist
+# and which output slot each lands in depends only on the two sparsity
+# patterns.  Solvers that re-multiply the same patterns with fresh values
+# (FEM Jacobians, AMG Galerkin triple products, graph contractions) should
+# pay it once.  spgemm_prepare runs the symbolic pass eagerly (host numpy);
+# spgemm_apply is the jit-compatible numeric pass: two gathers, a multiply,
+# and one pre-sorted segment-sum — no sort, deterministic summation order.
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["a_pos", "b_pos", "seg", "indices", "indptr"],
+    meta_fields=["shape"],
+)
+@dataclasses.dataclass(frozen=True)
+class SpgemmPlan:
+    """Pattern-static SpGEMM schedule from :func:`spgemm_prepare`.
+
+    ``a_pos``/``b_pos``: storage positions of each scalar product's factors
+    (``b_pos`` indexes the *prepared* operand's storage — for a CSC operand
+    the column-to-row permutation is already composed in); ``seg``: the
+    output slot of each product, non-decreasing; ``indices``/``indptr``: the
+    result's CSR structure (capacity = exact stored count, explicit zeros
+    included per reference semantics, compressed.fut:162-164)."""
+
+    a_pos: jax.Array
+    b_pos: jax.Array
+    seg: jax.Array
+    indices: jax.Array
+    indptr: jax.Array
+    shape: tuple[int, int]
+
+    @property
+    def nse_out(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def n_products(self) -> int:
+        return self.a_pos.shape[0]
+
+
+def spgemm_prepare(a: CSR, b) -> SpgemmPlan:
+    """Symbolic SpGEMM pass (eager, host-side, once per pattern pair).
+
+    Accepts B as CSR or CSC (the reference's ``smsmm`` takes CSC,
+    compressed.fut:268); the plan binds to the ORIGINAL storage order, so
+    :func:`spgemm_apply` never re-sorts values."""
+    import numpy as np
+
+    n, m = a.shape
+    if isinstance(b, CSC):
+        t = _csc_as_csr_t(b)  # CSR of b^T: storage order = b's storage order
+        k = b.shape[1]
+        bt_indptr = np.asarray(t.indptr)
+        bt_indices = np.asarray(t.indices)
+        nb_valid = int(bt_indptr[-1])
+        # b^T entry (row=c, col=s) at position p  <->  b entry (s, c) at p
+        b_rows_of = bt_indices[:nb_valid]  # B row (shared index s) per pos
+        b_cols_of = np.repeat(
+            np.arange(k, dtype=np.int64), np.diff(bt_indptr)
+        )  # B col per pos
+        perm = np.argsort(b_rows_of, kind="stable")  # row-compress B
+        src_pos = perm  # prepared order -> original storage position
+        b_idx_rows = b_rows_of[perm]
+        b_idx_cols = b_cols_of[perm]
+    elif isinstance(b, CSR):
+        if b.shape[0] != m:
+            raise ValueError(f"spgemm: inner dims {a.shape} @ {b.shape}")
+        k = b.shape[1]
+        b_indptr = np.asarray(b.indptr)
+        b_indices = np.asarray(b.indices)
+        nb_valid = int(b_indptr[-1])
+        src_pos = np.arange(nb_valid, dtype=np.int64)
+        b_idx_rows = np.repeat(
+            np.arange(m, dtype=np.int64), np.diff(b_indptr)
+        )
+        b_idx_cols = b_indices[:nb_valid].astype(np.int64)
+    else:
+        raise TypeError(f"spgemm_prepare: expected CSR/CSC operand, got {type(b)}")
+
+    b_starts = np.zeros(m + 1, np.int64)
+    np.cumsum(np.bincount(b_idx_rows, minlength=m), out=b_starts[1:])
+    b_lens = np.diff(b_starts)
+
+    a_indptr = np.asarray(a.indptr)
+    a_indices = np.asarray(a.indices)
+    na_valid = int(a_indptr[-1])
+    a_rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(a_indptr))
+    s = a_indices[:na_valid].astype(np.int64)
+
+    sizes = b_lens[s] if m else np.zeros(na_valid, np.int64)
+    F = int(sizes.sum())
+    starts = np.cumsum(sizes) - sizes
+    prod_a = np.repeat(np.arange(na_valid, dtype=np.int64), sizes)
+    inner = np.arange(F, dtype=np.int64) - starts[prod_a]
+    prod_b = b_starts[s[prod_a]] + inner
+
+    row = a_rows[prod_a]
+    col = b_idx_cols[prod_b]
+    order = np.argsort(row * (k + 1) + col, kind="stable")
+    row_o, col_o = row[order], col[order]
+    head = np.ones(F, bool)
+    head[1:] = (row_o[1:] != row_o[:-1]) | (col_o[1:] != col_o[:-1])
+    seg = np.cumsum(head) - 1
+    nse_out = int(seg[-1]) + 1 if F else 0
+    out_indices = col_o[head] if F else np.zeros(0, np.int64)
+    out_rows = row_o[head] if F else np.zeros(0, np.int64)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(out_rows, minlength=n), out=indptr[1:])
+    return SpgemmPlan(
+        a_pos=jnp.asarray(prod_a[order], INDEX_DTYPE),
+        b_pos=jnp.asarray(src_pos[prod_b[order]], INDEX_DTYPE),
+        seg=jnp.asarray(seg, INDEX_DTYPE),
+        indices=jnp.asarray(out_indices, INDEX_DTYPE),
+        indptr=jnp.asarray(indptr, INDEX_DTYPE),
+        shape=(n, k),
+    )
+
+
+@jax.jit
+def spgemm_apply(plan: SpgemmPlan, a: CSR, b) -> CSR:
+    """Numeric SpGEMM pass: C = A @ B for the pattern pair captured in
+    ``plan`` (values may have changed; structure must not).  jit-compatible,
+    sort-free, deterministic; B must be the same format (CSR or CSC) it was
+    prepared as — only its ``data`` array is read."""
+    b_data = b.data
+    out_dtype = jnp.result_type(a.dtype, b_data.dtype)
+    if plan.n_products == 0:
+        data = jnp.zeros((plan.nse_out,), out_dtype)
+    else:
+        prods = a.data[plan.a_pos] * b_data[plan.b_pos]
+        data = segment_sum(
+            prods.astype(out_dtype), plan.seg, plan.nse_out,
+            indices_are_sorted=True,
+        )
+    return CSR(data=data, indices=plan.indices, indptr=plan.indptr,
+               shape=plan.shape)
 
 
 def spgemm(

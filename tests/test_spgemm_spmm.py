@@ -210,3 +210,70 @@ def test_dsmm_vs_scipy():
     b = rng.standard_normal((k, n))
     A = st.csc_from_dense(jnp.asarray(da.toarray()))
     np.testing.assert_allclose(np.asarray(dsmm(jnp.asarray(b), A)), b @ da, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# symbolic/numeric split: spgemm_prepare + spgemm_apply
+# ---------------------------------------------------------------------------
+def test_spgemm_plan_matches_esc_structure_and_values():
+    from sparse_tpu import spgemm_apply, spgemm_prepare
+    from sparse_tpu.formats.csr import csr_compact
+
+    rng = np.random.default_rng(23)
+    n, m, k = 30, 25, 35
+    da = sp.random(n, m, density=0.15, random_state=rng, dtype=np.float64)
+    db = sp.random(m, k, density=0.15, random_state=rng, dtype=np.float64)
+    A = st.csr_from_dense(jnp.asarray(da.toarray()))
+    B = st.csr_from_dense(jnp.asarray(db.toarray()))
+    plan = spgemm_prepare(A, B)
+    C = spgemm_apply(plan, A, B)
+    ref = csr_compact(spgemm(A, B, method="esc"))
+    assert C.nse == ref.nse
+    np.testing.assert_array_equal(np.asarray(C.indptr), np.asarray(ref.indptr))
+    np.testing.assert_array_equal(np.asarray(C.indices), np.asarray(ref.indices))
+    np.testing.assert_allclose(np.asarray(C.data), np.asarray(ref.data),
+                               rtol=1e-12)
+    np.testing.assert_allclose(dense(C), (da @ db).toarray(), rtol=1e-12)
+
+
+def test_spgemm_plan_csc_operand_and_value_update():
+    from sparse_tpu import spgemm_apply, spgemm_prepare
+
+    rng = np.random.default_rng(29)
+    n, m, k = 12, 18, 9
+    da = sp.random(n, m, density=0.3, random_state=rng, dtype=np.float64)
+    db = sp.random(m, k, density=0.3, random_state=rng, dtype=np.float64)
+    A = st.csr_from_dense(jnp.asarray(da.toarray()))
+    Bc = st.csc_from_dense(jnp.asarray(db.toarray()))
+    plan = spgemm_prepare(A, Bc)
+    C = spgemm_apply(plan, A, Bc)
+    np.testing.assert_allclose(dense(C), (da @ db).toarray(), rtol=1e-12)
+    # same pattern, fresh values: no re-prepare, jit-compiled apply
+    import dataclasses as dc
+
+    A2 = dc.replace(A, data=A.data * 3.0)
+    B2 = dc.replace(Bc, data=Bc.data * -0.5)
+    f = jax.jit(lambda p, a, b: spgemm_apply(p, a, b))
+    C2 = f(plan, A2, B2)
+    np.testing.assert_allclose(dense(C2), -1.5 * (da @ db).toarray(),
+                               rtol=1e-12)
+
+
+def test_spgemm_plan_cancellation_and_empty():
+    from sparse_tpu import spgemm_apply, spgemm_prepare
+
+    # cancellation keeps the stored slot (explicit zero), nnz counts 0
+    A = st.csr_from_triples(1, 2, [(0, 0, 1.0), (0, 1, 1.0)])
+    B = st.csc_from_triples(2, 1, [(0, 0, 1.0), (1, 0, -1.0)])
+    plan = spgemm_prepare(A, B)
+    C = spgemm_apply(plan, A, B)
+    assert plan.nse_out == 1 and int(C.indptr[-1]) == 1
+    np.testing.assert_array_equal(dense(C), [[0.0]])
+    assert int(st.csr_nnz(C)) == 0
+    # empty operand
+    E = st.csr_from_triples(3, 4, [], dtype=np.float64)
+    B4 = st.csr_from_triples(4, 2, [(0, 0, 1.0)], dtype=np.float64)
+    plan_e = spgemm_prepare(E, B4)
+    Ce = spgemm_apply(plan_e, E, B4)
+    assert plan_e.nse_out == 0
+    np.testing.assert_array_equal(dense(Ce), np.zeros((3, 2)))
