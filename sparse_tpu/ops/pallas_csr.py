@@ -58,17 +58,19 @@ _K = 64  # tiles per grid step (amortize the ~1 us per-step floor)
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["vals", "q", "seg_of", "rb"],
-    meta_fields=["n", "m", "n_tiles", "fill", "chunks"],
+    meta_fields=["n", "m", "n_tiles", "fill", "chunks", "wsub"],
 )
 @dataclasses.dataclass(frozen=True)
 class SegTilePlan:
     """Static segment-tile layout of a CSR pattern (+ values).
 
-    ``vals``: (n_tiles, 8, 128) slot values; ``q``: int8 sublane pointers;
-    ``seg_of``: (n_tiles,) window base sublane into the resident operand;
-    ``rb``: (n_tiles,) global output row block; ``chunks``: static
-    (group0, group1) ranges per pallas_call (SMEM prefetch budget).
-    ``fill`` is the nnz / slot occupancy ratio (diagnostic + dispatch)."""
+    ``vals``: (n_tiles, 8, 128) slot values; ``q``: int8 sublane pointers
+    in [0, wsub); ``seg_of``: (n_tiles,) window base sublane into the
+    resident operand; ``rb``: (n_tiles,) global output row block;
+    ``chunks``: static (group0, group1) ranges per pallas_call (SMEM
+    prefetch budget); ``wsub``: operand window height in sublanes (the
+    window covers ``wsub * 128`` operand columns).  ``fill`` is the
+    nnz / slot occupancy ratio (diagnostic + dispatch)."""
 
     vals: jax.Array
     q: jax.Array
@@ -79,21 +81,30 @@ class SegTilePlan:
     n_tiles: int
     fill: float
     chunks: tuple
+    wsub: int = 8
 
 
-def build_seg_tiles(a: CSR) -> SegTilePlan:
+def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
     """Host-side tiling of a CSR matrix (eager, once per pattern+values).
 
-    Entries of each 8-row block are bucketed by 1024-column window anchored
-    at the block's first column (lane-aligned); within a bucket, entry
-    (r, c) occupies slot (r % 8, c % 128) of the bucket's current tile,
-    spilling to a fresh tile when the slot is taken (same row+lane,
+    Entries of each 8-row block are bucketed by ``wsub*128``-column window
+    anchored at the block's first column (lane-aligned); within a bucket,
+    entry (r, c) occupies slot (r % 8, c % 128) of the bucket's current
+    tile, spilling to a fresh tile when the slot is taken (same row+lane,
     different sublane) — the sum over spill tiles restores the exact
     per-row total.  The tile count is padded to a multiple of ``_K`` with
     inert zero tiles.  The padded slot arrays are assembled on device (one
     scatter) — shipping them pre-built from the host costs ~30x more
     transfer.
+
+    ``wsub`` (8, 16, or 32) trades per-tile gather cost for tile count:
+    wider windows pack patterns whose 8-row blocks span more than
+    ``wsub*128`` columns into fewer, fuller tiles (e.g. a +-1000 band at 20
+    nnz/row measures fill 0.036 at wsub=8; the block's ~2000-column span
+    fits one wsub=16 window).
     """
+    if wsub not in (8, 16, 32):
+        raise ValueError(f"build_seg_tiles: wsub must be 8, 16, or 32, got {wsub}")
     n, m = a.shape
     indptr = np.asarray(a.indptr)
     cols = np.asarray(a.indices).astype(np.int64)
@@ -109,9 +120,9 @@ def build_seg_tiles(a: CSR) -> SegTilePlan:
     minc = np.full(nb8, np.iinfo(np.int64).max)
     np.minimum.at(minc, rb, cols)
     anchor_sub = np.where(minc == np.iinfo(np.int64).max, 0, minc >> 7)
-    win = ((cols >> 7) - anchor_sub[rb]) >> 3  # 1024-col window index
-    base = anchor_sub[rb] + win * 8  # window base sublane
-    sub = (cols >> 7) - base  # in [0, 8)
+    win = ((cols >> 7) - anchor_sub[rb]) // wsub  # wsub*128-col window index
+    base = anchor_sub[rb] + win * wsub  # window base sublane
+    sub = (cols >> 7) - base  # in [0, wsub)
     lane = cols & (_LANES - 1)
 
     order = np.lexsort((sub, lane, rows, win, rb))
@@ -201,6 +212,7 @@ def build_seg_tiles(a: CSR) -> SegTilePlan:
         n_tiles=n_tiles,
         fill=nnz / max(n_tiles * 8 * _LANES, 1),
         chunks=chunks,
+        wsub=wsub,
     )
 
 
@@ -216,9 +228,10 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
     out_dtype = jnp.result_type(a.dtype, v.dtype)
     if n == 0:
         return jnp.zeros((0,), out_dtype)
-    # resident operand: whole vector as sublane rows, +8 zero rows so any
+    wsub = plan.wsub
+    # resident operand: whole vector as sublane rows, +wsub zero rows so any
     # in-range window base reads without clamping
-    s_rows = -(-max(m, 1) // _LANES) + 8
+    s_rows = -(-max(m, 1) // _LANES) + wsub
     v2 = jnp.zeros((s_rows, _LANES), out_dtype)
     v2 = jax.lax.dynamic_update_slice(
         v2.reshape(-1), v.astype(out_dtype), (0,)
@@ -238,7 +251,7 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
 
         for j in range(_K):
             t = g * _K + j
-            seg = v_ref[pl.ds(seg_of[t], 8), :]
+            seg = v_ref[pl.ds(seg_of[t], wsub), :]
             gx = jnp.take_along_axis(seg, q_ref[j].astype(jnp.int32), axis=0)
             acc = jnp.sum(vals_ref[j] * gx, axis=1)  # (8,)
             o_ref[pl.ds(rb[t], 1)] += acc[None]

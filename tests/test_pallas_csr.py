@@ -103,3 +103,31 @@ def test_auto_falls_back_off_tpu():
     x = np.random.default_rng(2).standard_normal(60).astype(np.float32)
     got = np.asarray(csr_smvm_auto(a, jnp.asarray(x)))
     np.testing.assert_allclose(got, A @ x, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("wsub", [16, 32])
+def test_segtile_wide_windows_match(wsub):
+    # wider operand windows (wsub sublanes = wsub*128 columns) must agree
+    # with the oracle and pack banded blocks into fewer tiles than wsub=8
+    rng = np.random.default_rng(61)
+    n = m = 2048
+    per_row = 12
+    rows = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    cols = np.clip(rows + rng.integers(-900, 900, rows.size), 0, m - 1)
+    v = rng.standard_normal(rows.size)
+    A = sp.coo_matrix((v, (rows, cols)), shape=(n, m)).tocsr()
+    A.sum_duplicates()
+    a = CSR(
+        data=jnp.asarray(A.data, np.float32),
+        indices=jnp.asarray(A.indices.astype(np.int32)),
+        indptr=jnp.asarray(A.indptr.astype(np.int32)),
+        shape=(n, m),
+    )
+    x = rng.standard_normal(m).astype(np.float32)
+    p8 = build_seg_tiles(a)
+    pw = build_seg_tiles(a, wsub=wsub)
+    assert pw.wsub == wsub and pw.fill > p8.fill
+    got = np.asarray(csr_smvm_segtile(a, jnp.asarray(x), pw, interpret=True))
+    np.testing.assert_allclose(got, A @ x, rtol=2e-5, atol=2e-5)
+    with pytest.raises(ValueError):
+        build_seg_tiles(a, wsub=7)
