@@ -123,3 +123,36 @@ def test_jvp_linearity():
     tangent = jnp.asarray(np.arange(5.0))
     _, jv = jax.jvp(lambda v: csr_smvm(a, v), (v,), (tangent,))
     np.testing.assert_allclose(np.asarray(jv), xa @ np.arange(5.0), rtol=1e-10)
+
+
+def test_grad_through_spgemm_apply():
+    # the sort-free numeric SpGEMM pass is plain gather/multiply/segment-sum,
+    # so gradients w.r.t. BOTH operands' values flow through the fixed plan
+    import dataclasses as dc
+
+    from sparse_tpu import spgemm_apply, spgemm_prepare
+
+    a, xa = random_csr(6, 5, 0.5, 31)
+    b, xb = random_csr(5, 7, 0.5, 32)
+    plan = spgemm_prepare(a, b)
+
+    def loss(da, db):
+        c = spgemm_apply(plan, dc.replace(a, data=da), dc.replace(b, data=db))
+        return jnp.sum(c.data ** 2)
+
+    ga, gb = jax.grad(loss, argnums=(0, 1))(a.data, b.data)
+    # analytic check via dense: L = ||A B||_F^2, dL/dA = 2 (A B) B^T at the
+    # stored positions of A
+    C = xa @ xb
+    dA = 2.0 * C @ xb.T
+    dB = 2.0 * xa.T @ C
+    rows_a = np.repeat(np.arange(6), np.diff(np.asarray(a.indptr)))
+    cols_a = np.asarray(a.indices)[: rows_a.size]
+    np.testing.assert_allclose(
+        np.asarray(ga)[: rows_a.size], dA[rows_a, cols_a], rtol=1e-10
+    )
+    rows_b = np.repeat(np.arange(5), np.diff(np.asarray(b.indptr)))
+    cols_b = np.asarray(b.indices)[: rows_b.size]
+    np.testing.assert_allclose(
+        np.asarray(gb)[: rows_b.size], dB[rows_b, cols_b], rtol=1e-10
+    )
