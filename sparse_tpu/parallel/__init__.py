@@ -18,6 +18,8 @@ from .halo import (  # noqa: F401
     HaloPCSROverlap,
     halo_partition,
     halo_partition_overlapped,
+    halo_spmm,
+    halo_spmm_overlapped,
     halo_spmv,
     halo_spmv_overlapped,
 )

@@ -34,9 +34,11 @@ __all__ = [
     "HaloPCSR",
     "halo_partition",
     "halo_spmv",
+    "halo_spmm",
     "HaloPCSROverlap",
     "halo_partition_overlapped",
     "halo_spmv_overlapped",
+    "halo_spmm_overlapped",
 ]
 
 
@@ -138,14 +140,15 @@ def halo_partition(a: CSR, mesh: Mesh, axis: str = "shards") -> HaloPCSR:
 def _halo_spmv_exec(data, indices, indptr, send_idx, v, *, mesh, ax, d, H):
     def body(data, indices, indptr, send_idx, v_local):
         # gather this shard's outgoing halo entries: row t = what we send to t
-        send_buf = v_local[send_idx[0]]  # (D, H)
+        # (v_local may carry trailing dims: (cols_p,) SpMV or (cols_p, k) SpMM)
+        send_buf = v_local[send_idx[0]]  # (D, H[, k])
         # exchange: recv[s] = the entries shard s holds that we need
         recv = jax.lax.all_to_all(send_buf, ax, split_axis=0, concat_axis=0)
-        v_halo = recv.reshape(d * H)
+        v_halo = recv.reshape((d * H,) + v_local.shape[1:])
         data, indices, indptr = data[0], indices[0], indptr[0]
         rows_p = indptr.shape[0] - 1
         rows = row_ids_from_indptr(indptr, data.shape[0])
-        prods = data * v_halo[indices]
+        prods = data.reshape(data.shape + (1,) * (v_local.ndim - 1)) * v_halo[indices]
         return segment_sum(prods, rows, rows_p, indices_are_sorted=True)[None]
 
     f = shard_map(
@@ -165,6 +168,17 @@ def halo_spmv(a: HaloPCSR, v: jax.Array, mesh: Mesh) -> jax.Array:
         a.data, a.indices, a.indptr, a.send_idx, v,
         mesh=mesh, ax=a.axis, d=a.n_shards, H=a.halo,
     ).reshape(-1)
+
+
+def halo_spmm(a: HaloPCSR, b: jax.Array, mesh: Mesh) -> jax.Array:
+    """Distributed SpMM with halo exchange: ``b`` is ``(cols_per_shard * D,
+    k)`` row-sharded (use ``shard_vector``); the all_to_all carries
+    ``D * halo`` operand *rows* (k entries each) per device."""
+    out = _halo_spmv_exec(
+        a.data, a.indices, a.indptr, a.send_idx, b,
+        mesh=mesh, ax=a.axis, d=a.n_shards, H=a.halo,
+    )
+    return out.reshape(-1, b.shape[1])
 
 
 @partial(
@@ -297,12 +311,17 @@ def _halo_spmv_overlapped_exec(
     iv, ii, ir, fv, fi, frw, send_idx, v, *, mesh, ax, d, H, rows_p
 ):
     def body(iv, ii, ir, fv, fi, frw, send_idx, v_local):
-        send_buf = v_local[send_idx[0]]  # (D, H)
+        send_buf = v_local[send_idx[0]]  # (D, H[, k])
         recv = jax.lax.all_to_all(send_buf, ax, split_axis=0, concat_axis=0)
+        trail = (1,) * (v_local.ndim - 1)
         # interior partial: independent of recv -> overlaps the collective
-        y = segment_sum(iv[0] * v_local[ii[0]], ir[0], rows_p)
-        v_halo = recv.reshape(d * H)
-        y = y + segment_sum(fv[0] * v_halo[fi[0]], frw[0], rows_p)
+        y = segment_sum(
+            iv[0].reshape(iv[0].shape + trail) * v_local[ii[0]], ir[0], rows_p
+        )
+        v_halo = recv.reshape((d * H,) + v_local.shape[1:])
+        y = y + segment_sum(
+            fv[0].reshape(fv[0].shape + trail) * v_halo[fi[0]], frw[0], rows_p
+        )
         return y[None]
 
     f = shard_map(
@@ -330,3 +349,19 @@ def halo_spmv_overlapped(
         mesh=mesh, ax=a.axis, d=a.n_shards, H=a.halo,
         rows_p=a.rows_per_shard,
     ).reshape(-1)
+
+
+def halo_spmm_overlapped(
+    a: HaloPCSROverlap, b: jax.Array, mesh: Mesh
+) -> jax.Array:
+    """SpMM variant of :func:`halo_spmv_overlapped`: ``b`` is
+    ``(cols_per_shard * D, k)`` row-sharded; the interior partial product
+    overlaps the all_to_all of the ``D * halo`` frontier operand rows."""
+    out = _halo_spmv_overlapped_exec(
+        a.int_data, a.int_idx, a.int_rows,
+        a.fr_data, a.fr_idx, a.fr_rows,
+        a.send_idx, b,
+        mesh=mesh, ax=a.axis, d=a.n_shards, H=a.halo,
+        rows_p=a.rows_per_shard,
+    )
+    return out.reshape(-1, b.shape[1])

@@ -127,3 +127,27 @@ def test_halo_overlapped_empty_rows_and_uneven(mesh):
     vs = shard_vector(v, pcsr_from_csr(a, mesh), mesh)
     got = halo_spmv_overlapped(ha, vs, mesh)[:n]
     np.testing.assert_allclose(np.asarray(got), x @ np.asarray(v))
+
+
+def test_halo_spmm_matches_oracle_and_jit(mesh):
+    from sparse_tpu.parallel import (
+        halo_partition_overlapped,
+        halo_spmm,
+        halo_spmm_overlapped,
+    )
+
+    n, bw, k = 48, 4, 8
+    x = banded(n, bw, seed=77)
+    a = csr_from_dense(jnp.asarray(x))
+    ha = halo_partition(a, mesh)
+    ho = halo_partition_overlapped(a, mesh)
+    b = np.random.default_rng(7).standard_normal((n, k))
+    pa = pcsr_from_csr(a, mesh)
+    bs = shard_vector(jnp.asarray(b), pa, mesh)
+    want = x @ b
+    got = halo_spmm(ha, bs, mesh)[:n]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-10, atol=1e-12)
+    got_o = halo_spmm_overlapped(ho, bs, mesh)[:n]
+    np.testing.assert_allclose(np.asarray(got_o), want, rtol=1e-10, atol=1e-12)
+    f = jax.jit(lambda ho, bs: halo_spmm_overlapped(ho, bs, mesh))
+    np.testing.assert_allclose(np.asarray(f(ho, bs))[:n], want, rtol=1e-10)
