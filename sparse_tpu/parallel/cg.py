@@ -55,13 +55,28 @@ def cg_solve(a: PCSR, b: jax.Array, mesh: Mesh, *, iters: int = 50):
     return state[0]
 
 
+def _precond_apply(M: jax.Array, v: jax.Array) -> jax.Array:
+    """Apply a preconditioner given as either the elementwise inverse
+    diagonal (1-D, Jacobi) or batched inverse diagonal blocks (3-D,
+    block-Jacobi from ``solve.precond.block_jacobi_prepare``)."""
+    if M.ndim == 1:
+        return M * v
+    from ..solve.precond import block_jacobi_apply
+
+    return block_jacobi_apply(M, v)
+
+
 def pcg_solve(a: PCSR, b: jax.Array, inv_diag: jax.Array, mesh: Mesh,
               *, iters: int = 50):
-    """Jacobi-preconditioned CG: ``inv_diag`` is the elementwise inverse of
+    """Preconditioned CG: ``inv_diag`` is either the elementwise inverse of
     ``diag(A)`` padded & sharded like ``b`` (build from ``csr_diagonal`` +
-    ``shard_vector``; pad slots must be 0 so padding stays inert)."""
+    ``shard_vector``; pad slots must be 0 so padding stays inert), or the
+    ``(nbk, bs, bs)`` inverse diagonal blocks from
+    ``solve.precond.block_jacobi_prepare`` (prepare with
+    ``padded_n = len(b)`` and a ``bs`` dividing the shard slab so GSPMD
+    keeps the batched apply local)."""
     x0 = jnp.zeros_like(b)
-    z0 = inv_diag * b
+    z0 = _precond_apply(inv_diag, b)
     state = (x0, b, z0, jnp.vdot(b, z0))
 
     def step(state):
@@ -71,7 +86,7 @@ def pcg_solve(a: PCSR, b: jax.Array, inv_diag: jax.Array, mesh: Mesh,
         alpha = rz / jnp.where(denom == 0, 1, denom)
         x = x + alpha * p
         r = r - alpha * ap
-        z = inv_diag * r
+        z = _precond_apply(inv_diag, r)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1, rz)
         p = z + beta * p
@@ -136,7 +151,9 @@ def gmres_solve(a: PCSR, b: jax.Array, mesh: Mesh, *, inv_diag=None,
     from jax.scipy.sparse.linalg import gmres as _gmres
 
     mv = lambda v: pcsr_spmv(a, v, mesh)
-    precond = (lambda v: inv_diag * v) if inv_diag is not None else None
+    precond = (
+        (lambda v: _precond_apply(inv_diag, v)) if inv_diag is not None else None
+    )
     x, _ = _gmres(mv, b, tol=tol, atol=0.0, restart=restart, maxiter=iters,
                   M=precond, solve_method="batched")
     return x

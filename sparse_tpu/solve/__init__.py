@@ -14,3 +14,4 @@ from .bsr_lu import (  # noqa: F401
     bsr_tri_plan,
     bsr_upper,
 )
+from .precond import block_jacobi_apply, block_jacobi_prepare  # noqa: F401

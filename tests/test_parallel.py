@@ -371,3 +371,50 @@ def test_gmres_nonsymmetric_with_and_without_jacobi(mesh):
     sol2 = gmres_solve(pa, bv, mesh, inv_diag=idv, restart=24, iters=4)
     np.testing.assert_allclose(np.asarray(sol2)[:n], x_true, rtol=1e-6,
                                atol=1e-6)
+
+
+def test_block_jacobi_pcg_and_gmres(mesh):
+    from sparse_tpu import block_jacobi_apply, block_jacobi_prepare
+    from sparse_tpu.parallel import gmres_solve, pcg_solve
+
+    rng = np.random.default_rng(57)
+    n = 64
+    # block-structured SPD: strong 4x4 diagonal blocks + weak coupling
+    bs = 4
+    blocks = rng.standard_normal((n // bs, bs, bs))
+    bd = np.zeros((n, n))
+    for i in range(n // bs):
+        q = blocks[i] @ blocks[i].T + bs * np.eye(bs)
+        bd[i * bs:(i + 1) * bs, i * bs:(i + 1) * bs] = q
+    coup = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.05) * 0.1
+    spd = bd + (coup + coup.T) + np.eye(n)
+    a = csr_from_dense(jnp.asarray(spd))
+    pa = pcsr_from_csr(a, mesh)
+    x_true = rng.standard_normal(n)
+    b = spd @ x_true
+    bv = shard_vector(jnp.asarray(b), pa, mesh)
+    inv_blocks = block_jacobi_prepare(a, bs, padded_n=bv.shape[0])
+    assert inv_blocks.shape == (bv.shape[0] // bs, bs, bs)
+    # the apply inverts the block-diagonal part exactly
+    z = block_jacobi_apply(inv_blocks, bv)
+    assert z.shape == bv.shape
+    sol = jax.jit(lambda pa, bv, m: pcg_solve(pa, bv, m, mesh, iters=2 * n))(
+        pa, bv, inv_blocks
+    )
+    np.testing.assert_allclose(np.asarray(sol)[:n], x_true, rtol=1e-6,
+                               atol=1e-6)
+    # block-Jacobi beats elementwise Jacobi at a fixed iteration budget here
+    from sparse_tpu import csr_diagonal
+
+    inv_d = shard_vector(1.0 / csr_diagonal(a), pa, mesh)
+    it = 8
+    err_blk = np.linalg.norm(
+        np.asarray(pcg_solve(pa, bv, inv_blocks, mesh, iters=it))[:n] - x_true
+    )
+    err_elt = np.linalg.norm(
+        np.asarray(pcg_solve(pa, bv, inv_d, mesh, iters=it))[:n] - x_true
+    )
+    assert err_blk < err_elt
+    sol_g = gmres_solve(pa, bv, mesh, inv_diag=inv_blocks, restart=16, iters=4)
+    np.testing.assert_allclose(np.asarray(sol_g)[:n], x_true, rtol=1e-6,
+                               atol=1e-6)
