@@ -9,6 +9,8 @@ from .pcsr import (  # noqa: F401
 from .cg import (  # noqa: F401
     bicgstab_solve,
     cg_solve,
+    chebyshev_preconditioner,
+    estimate_lmax,
     gmres_solve,
     pcg_solve,
     power_iteration_step,

@@ -17,12 +17,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh
 
 from .pcsr import PCSR, pcsr_spmv
 
 __all__ = ["cg_solve", "pcg_solve", "bicgstab_solve", "gmres_solve",
-           "power_iteration_step"]
+           "power_iteration_step", "estimate_lmax",
+           "chebyshev_preconditioner"]
 
 
 def _padded_len(a: PCSR) -> int:
@@ -55,10 +57,13 @@ def cg_solve(a: PCSR, b: jax.Array, mesh: Mesh, *, iters: int = 50):
     return state[0]
 
 
-def _precond_apply(M: jax.Array, v: jax.Array) -> jax.Array:
+def _precond_apply(M, v: jax.Array) -> jax.Array:
     """Apply a preconditioner given as either the elementwise inverse
-    diagonal (1-D, Jacobi) or batched inverse diagonal blocks (3-D,
-    block-Jacobi from ``solve.precond.block_jacobi_prepare``)."""
+    diagonal (1-D array, Jacobi), batched inverse diagonal blocks (3-D
+    array, block-Jacobi from ``solve.precond.block_jacobi_prepare``), or a
+    callable ``M(v)`` (e.g. ``chebyshev_preconditioner``)."""
+    if callable(M):
+        return M(v)
     if M.ndim == 1:
         return M * v
     from ..solve.precond import block_jacobi_apply
@@ -166,3 +171,51 @@ def power_iteration_step(a: PCSR, v: jax.Array, mesh: Mesh):
     norm = jnp.sqrt(jnp.vdot(av, av))
     lam = jnp.vdot(v, av)
     return av / jnp.where(norm == 0, 1, norm), lam
+
+
+def estimate_lmax(a: PCSR, mesh: Mesh, *, iters: int = 30,
+                  safety: float = 1.05) -> jax.Array:
+    """Largest-eigenvalue estimate by power iteration (for
+    :func:`chebyshev_preconditioner` bounds), scaled by ``safety`` so the
+    Chebyshev interval covers the true spectrum."""
+    L = a.rows_per_shard * a.n_shards
+    v0 = jnp.full((L,), 1.0 / np.sqrt(max(L, 1)), a.data.dtype)
+
+    def body(_, carry):
+        v, _ = carry
+        return power_iteration_step(a, v, mesh)
+
+    _, lam = jax.lax.fori_loop(0, iters, body, (v0, jnp.zeros((), v0.dtype)))
+    return lam * safety
+
+
+def chebyshev_preconditioner(a: PCSR, mesh: Mesh, *, lmax, lmin=None,
+                             degree: int = 8):
+    """Polynomial (Chebyshev) preconditioner: returns a callable ``M(v)``
+    approximating ``A^{-1} v`` with ``degree`` SpMVs and no solves — the
+    TPU-friendly preconditioner shape (pure matvec chains, no sequential
+    triangular sweep).  ``A`` must be SPD with spectrum inside
+    ``[lmin, lmax]`` (``lmin`` defaults to ``lmax / 30``; use
+    :func:`estimate_lmax` for the bound).  The operator is a fixed
+    polynomial in ``A``, hence symmetric — a valid CG preconditioner.
+    Pass the result as ``pcg_solve``'s / ``gmres_solve``'s ``inv_diag``."""
+    if lmin is None:
+        lmin = lmax / 30.0
+    d = (lmax + lmin) / 2.0
+    c = (lmax - lmin) / 2.0
+
+    def apply(v):
+        z = jnp.zeros_like(v)
+        r = v
+        p = r
+        alpha = 1.0 / d
+        for i in range(degree):
+            if i > 0:
+                beta = (c * alpha / 2.0) ** 2 if i > 1 else 0.5 * (c * alpha) ** 2
+                alpha = 1.0 / (d - beta / alpha)
+                p = r + beta * p
+            z = z + alpha * p
+            r = r - alpha * pcsr_spmv(a, p, mesh)
+        return z
+
+    return apply

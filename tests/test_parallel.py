@@ -418,3 +418,35 @@ def test_block_jacobi_pcg_and_gmres(mesh):
     sol_g = gmres_solve(pa, bv, mesh, inv_diag=inv_blocks, restart=16, iters=4)
     np.testing.assert_allclose(np.asarray(sol_g)[:n], x_true, rtol=1e-6,
                                atol=1e-6)
+
+
+def test_chebyshev_preconditioned_cg(mesh):
+    from sparse_tpu.parallel import chebyshev_preconditioner, estimate_lmax
+
+    rng = np.random.default_rng(59)
+    n = 64
+    d = 10.0 ** rng.uniform(0, 3, n)  # ill-conditioned spectrum
+    x = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.1)
+    spd = x @ x.T + np.diag(d) + np.eye(n)
+    a = csr_from_dense(jnp.asarray(spd))
+    pa = pcsr_from_csr(a, mesh)
+    x_true = rng.standard_normal(n)
+    bv = shard_vector(jnp.asarray(spd @ x_true), pa, mesh)
+    lmax = float(estimate_lmax(pa, mesh))
+    assert lmax >= np.linalg.eigvalsh(spd).max() * 0.98
+    M = chebyshev_preconditioner(pa, mesh, lmax=lmax, degree=8)
+    it = 25
+    from sparse_tpu.parallel import pcg_solve
+
+    err_c = np.linalg.norm(
+        np.asarray(cg_solve(pa, bv, mesh, iters=it))[:n] - x_true
+    )
+    err_p = np.linalg.norm(
+        np.asarray(jax.jit(
+            lambda pa, bv: pcg_solve(pa, bv, M, mesh, iters=it)
+        )(pa, bv))[:n] - x_true
+    )
+    assert err_p < err_c * 1e-3  # degree-8 polynomial crushes this spectrum
+    sol = pcg_solve(pa, bv, M, mesh, iters=60)
+    np.testing.assert_allclose(np.asarray(sol)[:n], x_true, rtol=1e-8,
+                               atol=1e-8)
