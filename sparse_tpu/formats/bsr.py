@@ -57,6 +57,9 @@ __all__ = [
     "bsr_scale",
     "bsr_smvm",
     "bsr_smsmm",
+    "BsrSmsmmPlan",
+    "bsr_smsmm_prepare",
+    "bsr_smsmm_apply",
     "bsr_nnz",
     "bsr_to_coo",
     "bsr_from_coo",
@@ -491,6 +494,99 @@ def bsr_smsmm_core(a: BSR, b: BSR, expansion_nbz: int) -> BSR:
     ).astype(INDEX_DTYPE)
     prods = jnp.where((target < nb * nb)[:, None, None], prods, 0)
     return _merge_blocks(n, bsz, target, prods.astype(out_dtype))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["a_pos", "b_pos", "seg", "indices"],
+    meta_fields=["n", "bsz"],
+)
+@dataclasses.dataclass(frozen=True)
+class BsrSmsmmPlan:
+    """Pattern-static block-SpGEMM schedule from :func:`bsr_smsmm_prepare`
+    (the block-level mirror of ``ops.spgemm.SpgemmPlan``): per block
+    product, the storage positions of both factors and the (pre-sorted)
+    output block slot; ``indices`` is the result's sorted block-coordinate
+    array (capacity = exact stored block count)."""
+
+    a_pos: jax.Array
+    b_pos: jax.Array
+    seg: jax.Array
+    indices: jax.Array
+    n: int
+    bsz: int
+
+    @property
+    def nbz_out(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def n_products(self) -> int:
+        return self.a_pos.shape[0]
+
+
+def bsr_smsmm_prepare(a: BSR, b: BSR) -> BsrSmsmmPlan:
+    """Symbolic block-SpGEMM pass (eager, host-side, once per pattern pair).
+
+    Use with :func:`bsr_smsmm_apply` when the same block patterns multiply
+    repeatedly with fresh values — the per-call sort disappears and the
+    numeric pass is one batched MXU einsum + a pre-sorted segment-sum."""
+    _check_compat(a, b, "smsmm_prepare")
+    nb = a.nb
+    ai = np.asarray(a.indices).astype(np.int64)
+    bi = np.asarray(b.indices).astype(np.int64)
+    va = np.flatnonzero(ai < nb * nb)
+    vb = np.flatnonzero(bi < nb * nb)
+    a_r, a_c = ai[va] // nb, ai[va] % nb
+    b_r, b_c = bi[vb] // nb, bi[vb] % nb
+    # row-compress B's valid blocks (BSR indices are sorted, so vb is
+    # already grouped by b_r)
+    b_counts = np.bincount(b_r, minlength=nb)
+    b_ptr = np.zeros(nb + 1, np.int64)
+    np.cumsum(b_counts, out=b_ptr[1:])
+    sizes = b_counts[a_c]
+    F = int(sizes.sum())
+    starts = np.cumsum(sizes) - sizes
+    pa_ = np.repeat(np.arange(va.size, dtype=np.int64), sizes)
+    inner = np.arange(F, dtype=np.int64) - starts[pa_]
+    pb_ = b_ptr[a_c[pa_]] + inner
+    target = a_r[pa_] * nb + b_c[pb_]
+    order = np.argsort(target, kind="stable")
+    t_o = target[order]
+    head = np.ones(F, bool)
+    head[1:] = t_o[1:] != t_o[:-1]
+    seg = np.cumsum(head) - 1
+    return BsrSmsmmPlan(
+        a_pos=jnp.asarray(va[pa_[order]], INDEX_DTYPE),
+        b_pos=jnp.asarray(vb[pb_[order]], INDEX_DTYPE),
+        seg=jnp.asarray(seg, INDEX_DTYPE),
+        indices=jnp.asarray(t_o[head] if F else np.zeros(0, np.int64),
+                            INDEX_DTYPE),
+        n=a.n,
+        bsz=a.bsz,
+    )
+
+
+@jax.jit
+def bsr_smsmm_apply(plan: BsrSmsmmPlan, a: BSR, b: BSR) -> BSR:
+    """Numeric block-SpGEMM pass for the pattern pair captured in ``plan``
+    (values may change, block structure must not).  jit-compatible,
+    sort-free, deterministic."""
+    out_dtype = jnp.result_type(a.dtype, b.dtype)
+    bsz = plan.bsz
+    if plan.n_products == 0:
+        blocks = jnp.zeros((plan.nbz_out, bsz, bsz), out_dtype)
+    else:
+        prods = jnp.einsum(
+            "fij,fjk->fik", a.blocks[plan.a_pos], b.blocks[plan.b_pos],
+            preferred_element_type=out_dtype,
+            precision=matmul_precision(a.dtype, b.dtype),
+        )
+        blocks = segment_sum(
+            prods.astype(out_dtype), plan.seg, plan.nbz_out,
+            indices_are_sorted=True,
+        )
+    return BSR(indices=plan.indices, blocks=blocks, n=plan.n, bsz=bsz)
 
 
 def bsr_smsmm(a: BSR, b: BSR, *, expansion_nbz: int | None = None,

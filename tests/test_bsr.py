@@ -262,3 +262,40 @@ def test_ops_under_jit():
     np.testing.assert_allclose(
         np.asarray(f(a, v)), (xa + xa.T) @ np.asarray(v), rtol=1e-10
     )
+
+
+def test_bsr_smsmm_plan_matches_and_updates():
+    # pattern-reuse split: structure and values match bsr_smsmm; fresh
+    # values reuse the plan under jit with no re-sort
+    import dataclasses as dc
+
+    from sparse_tpu import bsr_smsmm_apply, bsr_smsmm_prepare
+
+    rng = np.random.default_rng(71)
+    n, bsz = 24, 4
+    nb = n // bsz
+    amask = np.kron(rng.random((nb, nb)) < 0.4, np.ones((bsz, bsz)))
+    bmask = np.kron(rng.random((nb, nb)) < 0.4, np.ones((bsz, bsz)))
+    xa = rng.standard_normal((n, n)) * amask
+    xb = rng.standard_normal((n, n)) * bmask
+    a = bsr_from_dense(jnp.asarray(xa), bsz)
+    b = bsr_from_dense(jnp.asarray(xb), bsz)
+    plan = bsr_smsmm_prepare(a, b)
+    c = bsr_smsmm_apply(plan, a, b)
+    ref = bsr_smsmm(a, b)
+    np.testing.assert_allclose(dense(c), xa @ xb, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(dense(c), dense(ref), rtol=1e-12)
+    # stored structure matches the compacted eager product
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(c.indices)), np.sort(np.asarray(ref.indices))
+    )
+    a2 = dc.replace(a, blocks=a.blocks * -2.0)
+    c2 = jax.jit(bsr_smsmm_apply)(plan, a2, b)
+    np.testing.assert_allclose(dense(c2), -2.0 * (xa @ xb), rtol=1e-10,
+                               atol=1e-10)
+    # empty operand
+    z = bsr_from_dense(jnp.zeros((n, n)), bsz)
+    pz = bsr_smsmm_prepare(z, b)
+    assert pz.n_products == 0 and pz.nbz_out == 0
+    cz = bsr_smsmm_apply(pz, z, b)
+    np.testing.assert_array_equal(dense(cz), np.zeros((n, n)))
