@@ -18,7 +18,7 @@ from ..formats.csr import CSC, CSR, _csc_as_csr_t
 from ..formats.mono import MSR
 
 __all__ = ["validate_coo", "validate_csr", "validate_csc", "validate_bsr",
-           "validate_msr"]
+           "validate_msr", "validate_bell"]
 
 
 class SparseInvariantError(AssertionError):
@@ -104,3 +104,29 @@ def validate_bsr(a: BSR) -> None:
         _fail("BSR valid block indices must be unique")
     if np.any(blocks[~valid] != 0):
         _fail("BSR padding blocks must be zero")
+
+
+def validate_bell(a) -> None:
+    """BELL invariants: bsz | n, block-column ids in [0, nb), padding slots
+    (all-zero blocks) carry column id 0 (formats/bell.py layout contract)."""
+    from ..formats.bell import BELL
+
+    if not isinstance(a, BELL):
+        _fail(f"validate_bell: expected BELL, got {type(a)}")
+    if a.bsz <= 0 or a.n % a.bsz != 0:
+        _fail(f"BELL block size {a.bsz} must divide n={a.n}")
+    cols = np.asarray(a.cols)
+    blocks = np.asarray(a.blocks)
+    nb = a.nb
+    if cols.shape != (nb, a.Lb) or blocks.shape != (nb, a.Lb, a.bsz, a.bsz):
+        _fail("BELL cols/blocks shapes inconsistent with (nb, Lb, bsz)")
+    if cols.size and (cols.min() < 0 or (nb and cols.max() >= nb)):
+        _fail(f"BELL block-column ids outside [0, {nb})")
+    stored = np.any(blocks != 0, axis=(2, 3))
+    if np.any(~stored & (cols != 0)):
+        _fail("BELL padding slots (all-zero blocks) must carry column id 0")
+    # within a row, stored slots must not repeat a block column
+    for r in range(nb):
+        c = cols[r][stored[r]]
+        if c.size != np.unique(c).size:
+            _fail(f"BELL block row {r}: duplicate stored block columns")

@@ -73,3 +73,23 @@ def test_corrupt_msr_rejected():
     bad = dataclasses.replace(a, col_idx=a.col_idx.at[0].set(9))
     with pytest.raises(SparseInvariantError):
         validate_msr(bad)
+
+
+def test_validate_bell_and_corruption():
+    from sparse_tpu.formats.bell import bell_from_bsr
+    from sparse_tpu.utils.validate import validate_bell
+
+    a = bell_from_bsr(bsr_from_dense(jnp.asarray(rand_dense(8, 8, 0.5, 5)), 2))
+    validate_bell(a)  # healthy layout passes
+    bad = dataclasses.replace(a, cols=a.cols.at[0, 0].set(99))
+    with pytest.raises(SparseInvariantError):
+        validate_bell(bad)
+    # a padding slot (zero block) must not carry a nonzero column id
+    zero_slot = np.argwhere(~np.any(np.asarray(a.blocks) != 0, axis=(2, 3)))
+    if zero_slot.size:
+        r, l = zero_slot[0]
+        bad2 = dataclasses.replace(
+            a, cols=a.cols.at[int(r), int(l)].set(1)
+        )
+        with pytest.raises(SparseInvariantError):
+            validate_bell(bad2)
