@@ -13,7 +13,8 @@ import numpy as np
 
 from ..formats.csr import CSR
 
-__all__ = ["matrix_stats", "spmv_bytes", "roofline_report"]
+__all__ = ["matrix_stats", "spmv_bytes", "roofline_report",
+           "bell_stats", "BellStats"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,3 +77,43 @@ def roofline_report(a: CSR, seconds: float, k: int = 1,
     if hbm_gbps:
         out["roofline_fraction"] = gbps / hbm_gbps
     return out
+
+
+@dataclasses.dataclass(frozen=True)
+class BellStats:
+    shape: tuple[int, int]
+    nb: int
+    bsz: int
+    Lb: int
+    stored_blocks: int
+    nnz: int
+    slot_fill: float   # stored blocks / (nb * Lb) — ELL padding overhead
+    block_fill: float  # nonzero values / stored block elements
+
+    def __str__(self) -> str:
+        return (
+            f"BELL {self.shape[0]}x{self.shape[1]} bsz={self.bsz} Lb={self.Lb}: "
+            f"{self.stored_blocks} blocks (slot fill {self.slot_fill:.2f}), "
+            f"nnz={self.nnz} (block fill {self.block_fill:.2f})"
+        )
+
+
+def bell_stats(a) -> BellStats:
+    """Host-side structural summary of a blocked-ELL matrix: the two fill
+    ratios that set its SpMV/SpMM efficiency (ELL slot padding from row-
+    length skew, and in-block density from the re-blocking)."""
+    blocks = np.asarray(a.blocks)
+    stored = np.any(blocks != 0, axis=(2, 3))
+    nstored = int(stored.sum())
+    nnz = int(np.count_nonzero(blocks))
+    slots = max(a.nb * a.Lb, 1)
+    return BellStats(
+        shape=(a.n, a.n),
+        nb=a.nb,
+        bsz=a.bsz,
+        Lb=a.Lb,
+        stored_blocks=nstored,
+        nnz=nnz,
+        slot_fill=nstored / slots,
+        block_fill=nnz / max(nstored * a.bsz * a.bsz, 1),
+    )

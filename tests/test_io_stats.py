@@ -110,3 +110,22 @@ def test_native_parser_used_and_correct(tmp_path):
         fastmm.parse_coordinate(b"1 junk\n", 1, False)
     v = fastmm.parse_array(b"1.5\n2.5 3.5\n", 3)
     np.testing.assert_allclose(v, [1.5, 2.5, 3.5])
+
+
+def test_bell_stats():
+    from sparse_tpu import bsr_from_dense
+    from sparse_tpu.formats.bell import bell_from_bsr
+    from sparse_tpu.utils.stats import bell_stats
+
+    rng = np.random.default_rng(13)
+    n, bsz = 16, 4
+    nb = n // bsz
+    mask = np.kron(rng.random((nb, nb)) < 0.4, np.ones((bsz, bsz)))
+    x = rng.standard_normal((n, n)) * mask
+    x[np.abs(x) < 0.2] = 0.0  # some in-block zeros
+    e = bell_from_bsr(bsr_from_dense(jnp.asarray(x), bsz))
+    s = bell_stats(e)
+    assert s.nb == nb and s.bsz == bsz
+    assert s.nnz == int(np.count_nonzero(x))
+    assert 0 < s.slot_fill <= 1.0 and 0 < s.block_fill <= 1.0
+    assert "BELL" in str(s)
