@@ -311,10 +311,12 @@ _MIN_FILL = 0.007
 
 
 def csr_smvm_auto(a: CSR, v: jax.Array,
-                  plan: SegTilePlan | None = None) -> jax.Array:
+                  plan: SegTilePlan | None = None,
+                  wsub: int = 8) -> jax.Array:
     """Unstructured SpMV dispatch: the Pallas segment-tile kernel on TPU
     (operand + output fit VMEM, fill high enough; plan built eagerly when
-    not supplied), otherwise the XLA row-binned ELL path."""
+    not supplied, with window height ``wsub``), otherwise the XLA row-binned
+    ELL path."""
     from .spmv import csr_smvm_fast
 
     if (
@@ -323,7 +325,7 @@ def csr_smvm_auto(a: CSR, v: jax.Array,
     ):
         if plan is None:
             try:
-                plan = build_seg_tiles(a)
+                plan = build_seg_tiles(a, wsub=wsub)
             except jax.errors.TracerArrayConversionError:
                 plan = None  # inside jit without a plan: use the XLA path
         if plan is not None and plan.fill >= _MIN_FILL:
