@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.segmented import INDEX_DTYPE, asindex, segment_sum
+from ..ops.segmented import INDEX_DTYPE, asindex
 
 
 @partial(

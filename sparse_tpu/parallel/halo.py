@@ -21,13 +21,12 @@ import dataclasses
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..formats.csr import CSR
-from ..ops.segmented import INDEX_DTYPE, row_ids_from_indptr, segment_sum
+from ..ops.segmented import row_ids_from_indptr, segment_sum
 from .pcsr import put_sharded
 
 __all__ = [
