@@ -252,7 +252,20 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
         for j in range(_K):
             t = g * _K + j
             seg = v_ref[pl.ds(seg_of[t], wsub), :]
-            gx = jnp.take_along_axis(seg, q_ref[j].astype(jnp.int32), axis=0)
+            q = q_ref[j].astype(jnp.int32)
+            # Mosaic's dynamic gather requires indices.shape == src.shape:
+            # gather each 8-sublane chunk of the window and select by q's
+            # chunk (wsub=8 stays a single native gather)
+            gx = jnp.take_along_axis(
+                seg[0:8], jnp.minimum(q, 7), axis=0
+            )
+            for c in range(1, wsub // 8):
+                gc = jnp.take_along_axis(
+                    seg[c * 8:(c + 1) * 8],
+                    jnp.clip(q - c * 8, 0, 7),
+                    axis=0,
+                )
+                gx = jnp.where(q >= c * 8, gc, gx)
             acc = jnp.sum(vals_ref[j] * gx, axis=1)  # (8,)
             o_ref[pl.ds(rb[t], 1)] += acc[None]
 

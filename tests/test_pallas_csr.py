@@ -6,6 +6,7 @@ tests pin its semantics to the SciPy oracle across shapes that exercise
 tile spill, window padding, multi-chunk splits, and empty rows.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -131,3 +132,23 @@ def test_segtile_wide_windows_match(wsub):
     np.testing.assert_allclose(got, A @ x, rtol=2e-5, atol=2e-5)
     with pytest.raises(ValueError):
         build_seg_tiles(a, wsub=7)
+
+
+def test_segtile_wide_window_lowers_for_tpu():
+    # Mosaic's dynamic gather requires indices.shape == src.shape; the
+    # wide-window kernel decomposes into per-8-sublane gathers + selects.
+    # jax.export lowers for the TPU platform without a device, so a broken
+    # decomposition fails HERE instead of on the chip.
+    a, A = random_csr(64, 2048, 600, seed=3)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(2048)
+                    .astype(np.float32))
+    plan = build_seg_tiles(a, wsub=16)
+    # x32 scope (jax.enable_x64 context): under the suite x64 mode,
+    # take_along_axis's internal iota
+    # is int64, which Mosaic rejects; the TPU bench path runs x32
+    with jax.enable_x64(False):
+        exported = jax.export.export(
+            jax.jit(lambda a, v: csr_smvm_segtile(a, v, plan)),
+            platforms=["tpu"],
+        )(a, x)
+    assert "tpu_custom_call" in exported.mlir_module()
