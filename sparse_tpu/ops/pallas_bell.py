@@ -399,11 +399,13 @@ def bell_spmm_pallas_banded(a: BELL, b: jax.Array, plan: "BandedPlan", *,
     if S > 1 and SW * bsz * k * esz <= 6 * 1024 * 1024 and not (ntiles % S):
 
         def kernel_super(rel_ref, sup_ref, t_ref, win_ref, o_ref):
-            win = win_ref[...].reshape(SW * bsz, k)
             t = pl.program_id(0)
             for s in range(S):
                 off = rel_ref[t * S + s]
-                w = jax.lax.dynamic_slice_in_dim(win, off * bsz, W * bsz, 0)
+                # ref-level dynamic slice (Mosaic lowers pl.ds on refs; a
+                # value-level lax.dynamic_slice does not lower for TC
+                # kernels), offset in panels: rel + W <= SW by construction
+                w = win_ref[pl.ds(off, W)].reshape(W * bsz, k)
                 o_ref[s] = jax.lax.dot_general(
                     t_ref[s],
                     w,

@@ -1,5 +1,6 @@
 """Pallas BELL SpMM kernel (interpreter mode on CPU) vs dense oracle."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -191,3 +192,29 @@ def test_build_banded_plan_slot_valid_host_path():
     assert (p1.W, p1.rt, p1.S, p1.SW) == (p2.W, p2.rt, p2.S, p2.SW)
     with pytest.raises(ValueError):
         build_banded_plan(a, row_tile=4, slot_valid=sv[:, :1])
+
+
+def test_banded_kernels_lower_for_tpu():
+    # jax.export lowers for the TPU platform without a chip: catches Mosaic
+    # restrictions interpret mode hides (value-level dynamic_slice in the
+    # super-tile kernel failed here before the pl.ds ref-slice fix)
+    from sparse_tpu.ops.pallas_bell import (
+        bell_banded_prepare,
+        bell_spmm_pallas_banded,
+        bell_spmm_pallas_fused,
+    )
+
+    a, _ = banded_bell(40, 32, 2, seed=11)
+    kit = bell_banded_prepare(a, row_tile=5)
+    assert kit is not None and kit.plan.S > 1  # super-tile path
+    b = jnp.asarray(
+        np.random.default_rng(1).standard_normal((a.n, 128)).astype(np.float32)
+    )
+    with jax.enable_x64(False):
+        for fn in (
+            lambda a, b: bell_spmm_pallas_banded(a, b, kit.plan,
+                                                 tiles=kit.tiles),
+            lambda a, b: bell_spmm_pallas_fused(a, b),
+        ):
+            exported = jax.export.export(jax.jit(fn), platforms=["tpu"])(a, b)
+            assert "tpu_custom_call" in exported.mlir_module()
