@@ -14,4 +14,8 @@ from .bsr_lu import (  # noqa: F401
     bsr_tri_plan,
     bsr_upper,
 )
-from .precond import block_jacobi_apply, block_jacobi_prepare  # noqa: F401
+from .precond import (  # noqa: F401
+    block_jacobi_apply,
+    block_jacobi_prepare,
+    bsr_ilu0_preconditioner,
+)

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from ..formats.csr import CSR
 from ..ops.segmented import INDEX_DTYPE, row_ids_from_indptr
 
-__all__ = ["block_jacobi_prepare", "block_jacobi_apply"]
+__all__ = ["block_jacobi_prepare", "block_jacobi_apply",
+           "bsr_ilu0_preconditioner"]
 
 
 @partial(jax.jit, static_argnames=("bs", "padded_n"))
@@ -61,6 +62,44 @@ def block_jacobi_prepare(a: CSR, bs: int, padded_n: int | None = None
     d = jnp.diagonal(blocks, axis1=1, axis2=2)
     blocks = blocks + jnp.eye(bs, dtype=a.dtype)[None] * (d == 0)[:, :, None]
     return jnp.linalg.inv(blocks)
+
+
+def bsr_ilu0_preconditioner(a, padded_n: int | None = None):
+    """Block ILU(0) preconditioner from the BSR LU stack: incomplete LU on
+    the EXISTING block pattern (no fill, no pivoting — reference
+    ``lu_nofill`` semantics, blocked_square_regular.fut:502-546), applied as
+    one forward + one backward block-triangular sweep.
+
+    Returns a callable ``M(v)`` for :func:`...parallel.cg.pcg_solve` /
+    ``gmres_solve``; ``padded_n`` (>= n) matches the solver's padded vector
+    length (pad slots pass through as zeros).  The sweeps are inherently
+    sequential over block rows (one ``lax.fori_loop``), so this is the
+    strong-but-serial end of the preconditioner ladder — prefer
+    block-Jacobi/Chebyshev when iteration counts are already low.  ILU(0)
+    of a non-SPD matrix is not symmetric: pair with GMRES/BiCGSTAB unless
+    the system is SPD and well-behaved."""
+    from .bsr_lu import bsr_lu_nofill, bsr_tri_plan, _tri_sweep
+
+    LU = bsr_lu_nofill(a)
+    fplan = bsr_tri_plan(LU, lower=True)
+    bplan = bsr_tri_plan(LU, lower=False)
+    n = a.n
+    L = padded_n if padded_n is not None else n
+    if L < n:
+        raise ValueError(f"bsr_ilu0_preconditioner: padded_n {L} < n {n}")
+
+    def apply(v):
+        if v.shape != (L,):
+            raise ValueError(
+                f"bsr_ilu0_preconditioner: vector shape {v.shape} != ({L},)"
+            )
+        y = _tri_sweep(LU, v[:n], fplan)
+        z = _tri_sweep(LU, y, bplan)
+        if L == n:
+            return z
+        return jnp.concatenate([z, jnp.zeros((L - n,), z.dtype)])
+
+    return apply
 
 
 def block_jacobi_apply(inv_blocks: jax.Array, v: jax.Array) -> jax.Array:

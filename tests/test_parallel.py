@@ -450,3 +450,33 @@ def test_chebyshev_preconditioned_cg(mesh):
     sol = pcg_solve(pa, bv, M, mesh, iters=60)
     np.testing.assert_allclose(np.asarray(sol)[:n], x_true, rtol=1e-8,
                                atol=1e-8)
+
+
+def test_bsr_ilu0_preconditioned_gmres(mesh):
+    from sparse_tpu import bsr_from_dense, bsr_ilu0_preconditioner
+    from sparse_tpu.parallel import gmres_solve
+
+    rng = np.random.default_rng(7)
+    n, bsz = 64, 4
+    nb = n // bsz
+    mask = np.kron((rng.random((nb, nb)) < 0.25) | np.eye(nb, dtype=bool),
+                   np.ones((bsz, bsz)))
+    A = rng.standard_normal((n, n)) * mask + 6 * np.eye(n)
+    ab = bsr_from_dense(jnp.asarray(A), bsz)
+    pa = pcsr_from_csr(csr_from_dense(jnp.asarray(A)), mesh)
+    x_true = rng.standard_normal(n)
+    bv = shard_vector(jnp.asarray(A @ x_true), pa, mesh)
+    M = bsr_ilu0_preconditioner(ab, padded_n=bv.shape[0])
+    # tight budget (6 matvecs): ILU(0) crushes plain GMRES (measured
+    # 4e-4 vs 9e-2 on this system)
+    s1 = jax.jit(lambda pa, bv: gmres_solve(pa, bv, mesh, inv_diag=M,
+                                            restart=6, iters=1))(pa, bv)
+    s0 = gmres_solve(pa, bv, mesh, restart=6, iters=1)
+    e1 = np.linalg.norm(np.asarray(s1)[:n] - x_true)
+    e0 = np.linalg.norm(np.asarray(s0)[:n] - x_true)
+    assert e1 < e0 * 0.05
+    sol = gmres_solve(pa, bv, mesh, inv_diag=M, restart=10, iters=3)
+    np.testing.assert_allclose(np.asarray(sol)[:n], x_true, rtol=1e-8,
+                               atol=1e-8)
+    with pytest.raises(ValueError):
+        bsr_ilu0_preconditioner(ab, padded_n=n - 1)
