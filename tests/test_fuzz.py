@@ -83,3 +83,29 @@ def test_bsr_bell_consistency(nb, bsz, density):
     np.testing.assert_allclose(
         np.asarray(bsr_todense(bsr_smsmm(a, a))), x @ x, rtol=1e-9, atol=1e-9
     )
+
+
+@pytest.mark.parametrize("n,m,k,da,db", [(17, 23, 11, 0.25, 0.2),
+                                         (40, 8, 31, 0.1, 0.5),
+                                         (9, 9, 9, 0.6, 0.6)])
+def test_spgemm_plan_consistency(n, m, k, da, db):
+    # prepare/apply vs eager spgemm vs dense oracle, plus one value update
+    import dataclasses as dc
+
+    from sparse_tpu import spgemm_apply, spgemm_prepare
+
+    rng = np.random.default_rng(hash((n, m, k)) % 2**32)
+    xa = rng.standard_normal((n, m)) * (rng.random((n, m)) < da)
+    xb = rng.standard_normal((m, k)) * (rng.random((m, k)) < db)
+    a = csr_from_dense(jnp.asarray(xa))
+    b = csr_from_dense(jnp.asarray(xb))
+    plan = spgemm_prepare(a, b)
+    c = spgemm_apply(plan, a, b)
+    np.testing.assert_allclose(
+        np.asarray(csr_todense(c)), xa @ xb, rtol=1e-10, atol=1e-12
+    )
+    a2 = dc.replace(a, data=a.data * -0.5)
+    c2 = spgemm_apply(plan, a2, b)
+    np.testing.assert_allclose(
+        np.asarray(csr_todense(c2)), -0.5 * (xa @ xb), rtol=1e-10, atol=1e-12
+    )
