@@ -551,7 +551,9 @@ def bsr_smsmm_prepare(a: BSR, b: BSR) -> BsrSmsmmPlan:
     inner = np.arange(F, dtype=np.int64) - starts[pa_]
     pb_ = b_ptr[a_c[pa_]] + inner
     target = a_r[pa_] * nb + b_c[pb_]
-    order = np.argsort(target, kind="stable")
+    from ..native.plansort import argsort_u64
+
+    order = argsort_u64(target)
     t_o = target[order]
     head = np.ones(F, bool)
     head[1:] = t_o[1:] != t_o[:-1]

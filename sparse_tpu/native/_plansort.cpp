@@ -1,0 +1,146 @@
+// Native helpers for host-side plan construction (symbolic passes).
+//
+// The once-per-pattern symbolic passes (segment-tile layout, SpGEMM product
+// schedules) are dominated by argsorts of fused integer keys; NumPy's
+// comparison sort runs at ~1 M keys/s on the small deployment hosts this
+// library targets.  This stable LSD radix argsort is ~10x faster and keeps
+// plan-build latency proportionate to the transfer/compile costs around it.
+//
+// Build: g++ -O3 -shared -fPIC -o _plansort.so _plansort.cpp
+// (lazy, via sparse_tpu/native/plansort.py; NumPy fallback if unavailable).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Stable argsort of u64 keys: fills idx with a permutation such that
+// keys[idx[i]] is non-decreasing and equal keys keep input order.
+// Returns 0 on success, nonzero on bad arguments.
+long long radix_argsort_u64(const uint64_t* keys, long long n,
+                            long long* idx) {
+  if (n < 0 || (n > 0 && (!keys || !idx))) return 1;
+  if (n == 0) return 0;
+  uint64_t maxk = 0;
+  for (long long i = 0; i < n; ++i) {
+    idx[i] = i;
+    if (keys[i] > maxk) maxk = keys[i];
+  }
+  int passes = 1;
+  while (passes < 8 && (maxk >> (8 * passes)) != 0) ++passes;
+
+  std::vector<long long> tmp(static_cast<size_t>(n));
+  long long* src = idx;
+  long long* dst = tmp.data();
+  long long count[256];
+  for (int p = 0; p < passes; ++p) {
+    const int shift = 8 * p;
+    std::memset(count, 0, sizeof(count));
+    for (long long i = 0; i < n; ++i)
+      ++count[(keys[src[i]] >> shift) & 0xff];
+    long long pos = 0;
+    for (int b = 0; b < 256; ++b) {
+      long long c = count[b];
+      count[b] = pos;
+      pos += c;
+    }
+    for (long long i = 0; i < n; ++i) {
+      const uint64_t d = (keys[src[i]] >> shift) & 0xff;
+      dst[count[d]++] = src[i];
+    }
+    long long* t = src;
+    src = dst;
+    dst = t;
+  }
+  if (src != idx) std::memcpy(idx, src, sizeof(long long) * n);
+  return 0;
+}
+
+}  // extern "C"
+
+#include <algorithm>
+#include <unordered_map>
+
+extern "C" {
+
+// Segment-tile layout core (the host symbolic pass of
+// ops/pallas_csr.py:build_seg_tiles), one O(nnz) sweep instead of global
+// sorts + ~30 full-array NumPy passes.  Per 8-row block: window/lane/sub
+// decomposition anchored at the block's first lane-aligned column, spill
+// tiers per (win, row, lane) collision, tiles numbered in (block, win,
+// tier) order — bit-identical to the NumPy path (tests pin this).
+//
+// Outputs: pos[e] = tile*1024 + (row&7)*128 + lane (one unique slot per
+// entry), sub[e] in [0, wsub); per-tile seg_of (window base sublane) and
+// t_rb (output row block).  Tile buffers must hold >= nnz entries.
+// Returns the tile count, or -1 on bad arguments.
+long long seg_tile_layout(const long long* indptr, long long n,
+                          const long long* cols, long long wsub,
+                          long long* pos, signed char* sub,
+                          long long* seg_of, long long* t_rb) {
+  if (n < 0 || wsub <= 0 || wsub > 127) return -1;
+  const long long nnz = indptr[n];
+  (void)nnz;
+  long long n_tiles = 0;
+  std::unordered_map<long long, int> tier_count;   // (win, ri, lane) -> seen
+  std::unordered_map<long long, long long> tile_of_key;  // (win, tier) -> tile
+  std::vector<long long> keys;  // unique (win, tier) keys of this block
+  std::vector<long long> ewin, esub;  // per-entry win / tier-resolved data
+
+  for (long long rb = 0; rb * 8 < n; ++rb) {
+    const long long r0 = rb * 8;
+    const long long r1 = std::min(r0 + 8, n);
+    const long long s = indptr[r0], e = indptr[r1];
+    if (s >= e) continue;
+    // anchor: block's minimum column, lane-aligned (cols ascending per row,
+    // so each row's first entry is its minimum)
+    long long minc = cols[indptr[r0]];
+    for (long long r = r0; r < r1; ++r)
+      if (indptr[r] < indptr[r + 1]) minc = std::min(minc, cols[indptr[r]]);
+    const long long anchor = minc >> 7;
+
+    tier_count.clear();
+    tile_of_key.clear();
+    keys.clear();
+    ewin.clear();
+    esub.clear();
+    // pass 1: tiers + unique (win, tier) keys
+    for (long long r = r0; r < r1; ++r) {
+      const long long ri = r & 7;
+      for (long long p = indptr[r]; p < indptr[r + 1]; ++p) {
+        const long long c = cols[p];
+        const long long q = c >> 7;
+        const long long win = (q - anchor) / wsub;
+        const long long lane = c & 127;
+        const long long ck = ((win << 10) + (ri << 7) + lane);
+        const int tier = tier_count[ck]++;
+        const long long tk = (win << 24) + tier;  // tier < wsub * dup-count
+        if (tile_of_key.emplace(tk, -1).second) keys.push_back(tk);
+        ewin.push_back(tk);
+        esub.push_back(q - anchor - win * wsub);
+      }
+    }
+    std::sort(keys.begin(), keys.end());
+    for (long long k : keys) {
+      tile_of_key[k] = n_tiles;
+      seg_of[n_tiles] = anchor + (k >> 24) * wsub;
+      t_rb[n_tiles] = rb;
+      ++n_tiles;
+    }
+    // pass 2: slot positions
+    long long i = 0;
+    for (long long r = r0; r < r1; ++r) {
+      const long long ri = r & 7;
+      for (long long p = indptr[r]; p < indptr[r + 1]; ++p, ++i) {
+        const long long c = cols[p];
+        const long long tile = tile_of_key[ewin[i]];
+        pos[p] = tile * 1024 + ri * 128 + (c & 127);
+        sub[p] = static_cast<signed char>(esub[i]);
+      }
+    }
+  }
+  return n_tiles;
+}
+
+}  // extern "C"

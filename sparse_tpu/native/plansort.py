@@ -1,0 +1,105 @@
+"""ctypes binding for the native plan-construction sorts (_plansort.cpp).
+
+Same lazy-build contract as ``io/fastmm.py``: compiled with the ambient g++
+on first use, cached next to the source, and every entry point degrades to
+NumPy when the toolchain or shared object is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["argsort_u64", "seg_tile_layout"]
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "_plansort.cpp"
+_SO = _HERE / "_plansort.so"
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            lib = ctypes.CDLL(str(_SO))
+            lib.radix_argsort_u64.restype = ctypes.c_int64
+            lib.seg_tile_layout.restype = ctypes.c_int64
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def argsort_u64(keys: np.ndarray) -> np.ndarray:
+    """Stable argsort of non-negative integer keys.
+
+    Native stable LSD radix sort when available (~10x NumPy's comparison
+    sort on the plan-build hot path), else ``np.argsort(kind="stable")``.
+    ``keys`` must be integer-typed with non-negative values fitting u64.
+    """
+    keys = np.ascontiguousarray(keys)
+    if keys.dtype != np.uint64:
+        if keys.size and int(keys.min()) < 0:
+            raise ValueError("argsort_u64: negative keys")
+        keys = keys.astype(np.uint64)
+    lib = _load()
+    if lib is None:
+        return np.argsort(keys, kind="stable")
+    out = np.empty(keys.size, np.int64)
+    rc = lib.radix_argsort_u64(
+        ctypes.c_void_p(keys.ctypes.data),
+        ctypes.c_int64(keys.size),
+        ctypes.c_void_p(out.ctypes.data),
+    )
+    if rc != 0:
+        return np.argsort(keys, kind="stable")
+    return out
+
+
+def seg_tile_layout(indptr: np.ndarray, cols: np.ndarray, wsub: int):
+    """Native segment-tile layout sweep (ops/pallas_csr.build_seg_tiles's
+    symbolic pass): returns ``(pos, sub, seg_of, t_rb)`` — per-entry slot
+    positions/sublane pointers (in STORAGE order) and per-tile window base /
+    row block — or None when the native library is unavailable.  One O(nnz)
+    pass; bit-identical tile numbering to the NumPy path."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    n = indptr.size - 1
+    nnz = int(indptr[-1])
+    pos = np.empty(nnz, np.int64)
+    sub = np.empty(nnz, np.int8)
+    seg_of = np.empty(max(nnz, 1), np.int64)
+    t_rb = np.empty(max(nnz, 1), np.int64)
+    nt = lib.seg_tile_layout(
+        ctypes.c_void_p(indptr.ctypes.data),
+        ctypes.c_int64(n),
+        ctypes.c_void_p(cols.ctypes.data),
+        ctypes.c_int64(wsub),
+        ctypes.c_void_p(pos.ctypes.data),
+        ctypes.c_void_p(sub.ctypes.data),
+        ctypes.c_void_p(seg_of.ctypes.data),
+        ctypes.c_void_p(t_rb.ctypes.data),
+    )
+    if nt < 0:
+        return None
+    return pos, sub, seg_of[:nt], t_rb[:nt]

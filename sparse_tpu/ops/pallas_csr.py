@@ -110,13 +110,27 @@ def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
     cols = np.asarray(a.indices).astype(np.int64)
     vals = np.asarray(a.data)
     nnz = int(indptr[-1])
-    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    nb8 = -(-max(n, 1) // 8)
     cols = cols[:nnz]
     vals = vals[:nnz]
+
+    # fast path: the whole bucketing sweep in native code (one O(nnz) pass;
+    # bit-identical tile numbering, pinned by tests).  This host's NumPy
+    # runs the ~30-array-pass fallback below at ~60 s per 2M nnz.
+    from ..native.plansort import seg_tile_layout
+
+    native = seg_tile_layout(indptr, cols, wsub) if nnz else None
+    if native is not None:
+        pos_src, sub_src, t_base, t_rb = native
+        val_src = vals
+        n_real = t_base.size
+        return _finish_plan(a, n, m, nnz, wsub, pos_src, sub_src, val_src,
+                            t_base, t_rb, n_real)
+
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
     rb = rows >> 3
 
     # window anchor: each row block's first (lane-aligned) column
-    nb8 = -(-max(n, 1) // 8)
     minc = np.full(nb8, np.iinfo(np.int64).max)
     np.minimum.at(minc, rb, cols)
     anchor_sub = np.where(minc == np.iinfo(np.int64).max, 0, minc >> 7)
@@ -125,7 +139,19 @@ def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
     sub = (cols >> 7) - base  # in [0, wsub)
     lane = cols & (_LANES - 1)
 
-    order = np.lexsort((sub, lane, rows, win, rb))
+    # sort by (rb, win, row, lane, sub): one fused-u64-key radix argsort
+    # (native, sparse_tpu.native.plansort) when the key fits, else lexsort.
+    # rows within a block differ only in ri = rows & 7, so (rb, rows) ==
+    # (rb, ri) under the rb-major order.
+    nwin = int(win.max()) + 1 if nnz else 1
+    if nnz and nb8 * nwin * 8 * 128 * wsub < (1 << 62):
+        from ..native.plansort import argsort_u64
+
+        key = ((((rb * nwin + win) * 8 + (rows & 7)) * 128 + lane) * wsub
+               + sub).astype(np.uint64)
+        order = argsort_u64(key)
+    else:
+        order = np.lexsort((sub, lane, rows, win, rb))
     rb_o, win_o, lane_o = rb[order], win[order], lane[order]
     rows_o, vals_o, sub_o = rows[order], vals[order], sub[order]
     base_o = base[order]
@@ -144,7 +170,15 @@ def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
             np.where(grp, np.arange(ne), -1)
         )
         # number tiles in (rb, win, tier) order
-        order2 = np.lexsort((tier, win_o, rb_o))
+        T = int(tier.max()) + 1
+        if nb8 * nwin * T < (1 << 62):
+            from ..native.plansort import argsort_u64
+
+            order2 = argsort_u64(
+                ((rb_o * nwin + win_o) * T + tier).astype(np.uint64)
+            )
+        else:
+            order2 = np.lexsort((tier, win_o, rb_o))
         key_change = np.empty(ne, np.bool_)
         key_change[0] = True
         key_change[1:] = (
@@ -166,6 +200,19 @@ def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
         t_base = np.zeros(0, np.int64)
         t_rb = np.zeros(0, np.int64)
 
+    pos_src = tile_of * (8 * _LANES) + ri * _LANES + lane_o
+    return _finish_plan(a, n, m, nnz, wsub, pos_src, sub_o, vals_o,
+                        t_base, t_rb, n_real)
+
+
+def _finish_plan(a, n, m, nnz, wsub, pos_src, sub_src, val_src,
+                 t_base, t_rb, n_real) -> SegTilePlan:
+    """Shared plan tail: tile padding, SMEM chunking, and the device-side
+    scatter of the padded slot arrays.  Ships ONE flat int32 slot position
+    per entry (9 B/nnz total vs 17 B/nnz for 3-D coords); slot positions are
+    unique by construction, which lets XLA skip the collision-safe
+    serialized scatter path.  ``pos_src``/``sub_src``/``val_src`` may be in
+    any consistent entry order (the scatter is order-agnostic)."""
     n_tiles = max(-(-max(n_real, 1) // _K) * _K, _K)
     seg_of = np.zeros(n_tiles, np.int32)
     t_rb_pad = np.zeros(n_tiles, np.int32)
@@ -180,26 +227,21 @@ def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
         for g0 in range(0, n_groups, cap_groups)
     )
 
-    # device-side assembly of the padded slot arrays: ship ONE flat int32
-    # slot position per entry (9 B/nnz total vs 17 B/nnz for 3-D coords)
-    # and scatter 1-D; slot positions are unique by construction, which
-    # lets XLA skip the collision-safe serialized scatter path.
     if n_tiles * 8 * _LANES > np.iinfo(np.int32).max:
         raise ValueError(
             f"build_seg_tiles: {n_tiles} tiles overflows int32 slot "
             "positions (8 GB of slot storage — use the XLA path)"
         )
-    pos = jnp.asarray(
-        (tile_of * (8 * _LANES) + ri * _LANES + lane_o).astype(np.int32)
-    )
+    pos = jnp.asarray(np.asarray(pos_src).astype(np.int32))
     tvals = (
         jnp.zeros((n_tiles * 8 * _LANES,), a.dtype)
-        .at[pos].set(jnp.asarray(vals_o), unique_indices=True)
+        .at[pos].set(jnp.asarray(val_src), unique_indices=True)
         .reshape(n_tiles, 8, _LANES)
     )
     tq = (
         jnp.zeros((n_tiles * 8 * _LANES,), jnp.int8)
-        .at[pos].set(jnp.asarray(sub_o, dtype=jnp.int8), unique_indices=True)
+        .at[pos].set(jnp.asarray(sub_src, dtype=jnp.int8),
+                     unique_indices=True)
         .reshape(n_tiles, 8, _LANES)
     )
     return SegTilePlan(

@@ -366,7 +366,9 @@ def spgemm_prepare(a: CSR, b) -> SpgemmPlan:
 
     row = a_rows[prod_a]
     col = b_idx_cols[prod_b]
-    order = np.argsort(row * (k + 1) + col, kind="stable")
+    from ..native.plansort import argsort_u64
+
+    order = argsort_u64(row * (k + 1) + col)
     row_o, col_o = row[order], col[order]
     head = np.ones(F, bool)
     head[1:] = (row_o[1:] != row_o[:-1]) | (col_o[1:] != col_o[:-1])

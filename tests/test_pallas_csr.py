@@ -152,3 +152,20 @@ def test_segtile_wide_window_lowers_for_tpu():
             platforms=["tpu"],
         )(a, x)
     assert "tpu_custom_call" in exported.mlir_module()
+
+
+def test_segtile_fused_key_sort_matches_lexsort():
+    # the fused-u64-key radix path must order exactly like the 5-key lexsort
+    # (incl. duplicate coordinates): compare whole plans
+    from unittest import mock
+
+    a, A = random_csr(300, 1100, 4000, seed=8)
+    p_fused = build_seg_tiles(a)
+    with mock.patch("sparse_tpu.native.plansort._lib", None), \
+         mock.patch("sparse_tpu.native.plansort._tried", True):
+        p_np = build_seg_tiles(a)
+    for f in ("vals", "q", "seg_of", "rb"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(p_fused, f)), np.asarray(getattr(p_np, f))
+        )
+    assert p_fused.n_tiles == p_np.n_tiles and p_fused.chunks == p_np.chunks
