@@ -144,3 +144,71 @@ long long seg_tile_layout(const long long* indptr, long long n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// SpGEMM product schedule (the symbolic pass of ops/spgemm.py:
+// spgemm_prepare): enumerate every scalar product (A entry x matching
+// prepared-B entry), sort by output coordinate (row-major), and emit the
+// packed schedule + output CSR structure.  One enumeration pass + one
+// radix argsort + one emission pass, all O(F).
+//
+// Inputs: A's row pointer/indices (valid entries packed first), prepared
+// B's per-row starts (b_starts, length m+1), per-position output column
+// (b_cols) and original storage position (b_src).  F = caller-computed
+// product count.  Outputs (length F): a_pos/b_pos/seg in output order;
+// out_rows/out_cols hold the nse_out unique coordinates.
+// Returns nse_out, or -1 on bad arguments.
+long long spgemm_schedule(const long long* a_indptr, long long n,
+                          const long long* a_indices,
+                          const long long* b_starts, long long m,
+                          const long long* b_cols, const long long* b_src,
+                          long long k, long long F,
+                          long long* a_pos, long long* b_pos, long long* seg,
+                          long long* out_rows, long long* out_cols) {
+  if (n < 0 || m < 0 || k < 0 || F < 0) return -1;
+  std::vector<uint64_t> key(static_cast<size_t>(F));
+  long long f = 0;
+  const uint64_t kw = static_cast<uint64_t>(k) + 1;
+  for (long long r = 0; r < n; ++r) {
+    for (long long p = a_indptr[r]; p < a_indptr[r + 1]; ++p) {
+      const long long s = a_indices[p];
+      if (s < 0 || s >= m) return -1;
+      for (long long q = b_starts[s]; q < b_starts[s + 1]; ++q) {
+        if (f >= F) return -1;
+        key[f] = static_cast<uint64_t>(r) * kw +
+                 static_cast<uint64_t>(b_cols[q]);
+        a_pos[f] = p;
+        b_pos[f] = b_src[q];
+        ++f;
+      }
+    }
+  }
+  if (f != F) return -1;
+  std::vector<long long> order(static_cast<size_t>(F));
+  if (radix_argsort_u64(key.data(), F, order.data()) != 0) return -1;
+  // emit in sorted order, reusing seg as scratch is not possible (outputs
+  // alias nothing); permute via gather into temporaries
+  std::vector<long long> ta(static_cast<size_t>(F)), tb(static_cast<size_t>(F));
+  for (long long i = 0; i < F; ++i) {
+    ta[i] = a_pos[order[i]];
+    tb[i] = b_pos[order[i]];
+  }
+  std::memcpy(a_pos, ta.data(), sizeof(long long) * F);
+  std::memcpy(b_pos, tb.data(), sizeof(long long) * F);
+  long long nse = 0;
+  uint64_t prev = ~uint64_t{0};
+  for (long long i = 0; i < F; ++i) {
+    const uint64_t kk = key[order[i]];
+    if (i == 0 || kk != prev) {
+      out_rows[nse] = static_cast<long long>(kk / kw);
+      out_cols[nse] = static_cast<long long>(kk % kw);
+      ++nse;
+      prev = kk;
+    }
+    seg[i] = nse - 1;
+  }
+  return nse;
+}
+
+}  // extern "C"

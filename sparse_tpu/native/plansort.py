@@ -14,7 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["argsort_u64", "seg_tile_layout"]
+__all__ = ["argsort_u64", "seg_tile_layout", "spgemm_schedule"]
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "_plansort.cpp"
@@ -41,6 +41,7 @@ def _load():
             lib = ctypes.CDLL(str(_SO))
             lib.radix_argsort_u64.restype = ctypes.c_int64
             lib.seg_tile_layout.restype = ctypes.c_int64
+            lib.spgemm_schedule.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib = None
@@ -103,3 +104,42 @@ def seg_tile_layout(indptr: np.ndarray, cols: np.ndarray, wsub: int):
     if nt < 0:
         return None
     return pos, sub, seg_of[:nt], t_rb[:nt]
+
+
+def spgemm_schedule(a_indptr, a_indices, b_starts, b_cols, b_src,
+                    k: int, F: int):
+    """Native SpGEMM product schedule (ops/spgemm.spgemm_prepare's symbolic
+    pass): returns ``(a_pos, b_pos, seg, out_rows, out_cols)`` with the
+    products sorted by output coordinate, or None when the native library is
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    a_indptr = np.ascontiguousarray(a_indptr, np.int64)
+    a_indices = np.ascontiguousarray(a_indices, np.int64)
+    b_starts = np.ascontiguousarray(b_starts, np.int64)
+    b_cols = np.ascontiguousarray(b_cols, np.int64)
+    b_src = np.ascontiguousarray(b_src, np.int64)
+    n = a_indptr.size - 1
+    m = b_starts.size - 1
+    a_pos = np.empty(F, np.int64)
+    b_pos = np.empty(F, np.int64)
+    seg = np.empty(F, np.int64)
+    out_rows = np.empty(max(F, 1), np.int64)
+    out_cols = np.empty(max(F, 1), np.int64)
+    nse = lib.spgemm_schedule(
+        ctypes.c_void_p(a_indptr.ctypes.data), ctypes.c_int64(n),
+        ctypes.c_void_p(a_indices.ctypes.data),
+        ctypes.c_void_p(b_starts.ctypes.data), ctypes.c_int64(m),
+        ctypes.c_void_p(b_cols.ctypes.data),
+        ctypes.c_void_p(b_src.ctypes.data),
+        ctypes.c_int64(k), ctypes.c_int64(F),
+        ctypes.c_void_p(a_pos.ctypes.data),
+        ctypes.c_void_p(b_pos.ctypes.data),
+        ctypes.c_void_p(seg.ctypes.data),
+        ctypes.c_void_p(out_rows.ctypes.data),
+        ctypes.c_void_p(out_cols.ctypes.data),
+    )
+    if nse < 0:
+        return None
+    return a_pos, b_pos, seg, out_rows[:nse], out_cols[:nse]

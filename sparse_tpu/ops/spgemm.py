@@ -328,7 +328,9 @@ def spgemm_prepare(a: CSR, b) -> SpgemmPlan:
         b_cols_of = np.repeat(
             np.arange(k, dtype=np.int64), np.diff(bt_indptr)
         )  # B col per pos
-        perm = np.argsort(b_rows_of, kind="stable")  # row-compress B
+        from ..native.plansort import argsort_u64 as _argsort_u64
+
+        perm = _argsort_u64(b_rows_of)  # row-compress B (stable)
         src_pos = perm  # prepared order -> original storage position
         b_idx_rows = b_rows_of[perm]
         b_idx_cols = b_cols_of[perm]
@@ -351,36 +353,48 @@ def spgemm_prepare(a: CSR, b) -> SpgemmPlan:
     np.cumsum(np.bincount(b_idx_rows, minlength=m), out=b_starts[1:])
     b_lens = np.diff(b_starts)
 
-    a_indptr = np.asarray(a.indptr)
+    a_indptr = np.asarray(a.indptr).astype(np.int64)
     a_indices = np.asarray(a.indices)
     na_valid = int(a_indptr[-1])
-    a_rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(a_indptr))
     s = a_indices[:na_valid].astype(np.int64)
-
     sizes = b_lens[s] if m else np.zeros(na_valid, np.int64)
     F = int(sizes.sum())
-    starts = np.cumsum(sizes) - sizes
-    prod_a = np.repeat(np.arange(na_valid, dtype=np.int64), sizes)
-    inner = np.arange(F, dtype=np.int64) - starts[prod_a]
-    prod_b = b_starts[s[prod_a]] + inner
 
-    row = a_rows[prod_a]
-    col = b_idx_cols[prod_b]
-    from ..native.plansort import argsort_u64
+    # native one-pass enumeration + radix sort + dedup (NumPy fallback is
+    # result-identical; pinned by tests)
+    from ..native.plansort import argsort_u64, spgemm_schedule
 
-    order = argsort_u64(row * (k + 1) + col)
-    row_o, col_o = row[order], col[order]
-    head = np.ones(F, bool)
-    head[1:] = (row_o[1:] != row_o[:-1]) | (col_o[1:] != col_o[:-1])
-    seg = np.cumsum(head) - 1
-    nse_out = int(seg[-1]) + 1 if F else 0
-    out_indices = col_o[head] if F else np.zeros(0, np.int64)
-    out_rows = row_o[head] if F else np.zeros(0, np.int64)
+    native = spgemm_schedule(a_indptr, s, b_starts, b_idx_cols, src_pos,
+                             k, F) if F else None
+    if native is not None:
+        a_pos_o, b_pos_o, seg, out_rows, out_indices = native
+        nse_out = out_rows.size
+    else:
+        a_rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(a_indptr))
+        starts = np.cumsum(sizes) - sizes
+        prod_a = np.repeat(np.arange(na_valid, dtype=np.int64), sizes)
+        inner = np.arange(F, dtype=np.int64) - starts[prod_a]
+        prod_b = b_starts[s[prod_a]] + inner
+
+        row = a_rows[prod_a]
+        col = b_idx_cols[prod_b]
+        order = argsort_u64(row * (k + 1) + col)
+        row_o, col_o = row[order], col[order]
+        head = np.ones(F, bool)
+        head[1:] = (row_o[1:] != row_o[:-1]) | (col_o[1:] != col_o[:-1])
+        seg = np.cumsum(head) - 1
+        nse_out = int(seg[-1]) + 1 if F else 0
+        out_indices = col_o[head] if F else np.zeros(0, np.int64)
+        out_rows = row_o[head] if F else np.zeros(0, np.int64)
+        a_pos_o = prod_a[order] if F else np.zeros(0, np.int64)
+        b_pos_o = src_pos[prod_b[order]] if F else np.zeros(0, np.int64)
+        if F == 0:
+            seg = np.zeros(0, np.int64)
     indptr = np.zeros(n + 1, np.int64)
     np.cumsum(np.bincount(out_rows, minlength=n), out=indptr[1:])
     return SpgemmPlan(
-        a_pos=jnp.asarray(prod_a[order], INDEX_DTYPE),
-        b_pos=jnp.asarray(src_pos[prod_b[order]], INDEX_DTYPE),
+        a_pos=jnp.asarray(a_pos_o, INDEX_DTYPE),
+        b_pos=jnp.asarray(b_pos_o, INDEX_DTYPE),
         seg=jnp.asarray(seg, INDEX_DTYPE),
         indices=jnp.asarray(out_indices, INDEX_DTYPE),
         indptr=jnp.asarray(indptr, INDEX_DTYPE),

@@ -277,3 +277,25 @@ def test_spgemm_plan_cancellation_and_empty():
     Ce = spgemm_apply(plan_e, E, B4)
     assert plan_e.nse_out == 0
     np.testing.assert_array_equal(dense(Ce), np.zeros((3, 2)))
+
+
+def test_spgemm_plan_native_matches_numpy_path():
+    # the native schedule and the NumPy fallback must produce identical plans
+    from unittest import mock
+
+    from sparse_tpu import spgemm_prepare
+
+    rng = np.random.default_rng(33)
+    da = sp.random(60, 45, density=0.15, random_state=rng, dtype=np.float64)
+    db = sp.random(45, 70, density=0.15, random_state=rng, dtype=np.float64)
+    A = st.csr_from_dense(jnp.asarray(da.toarray()))
+    Bc = st.csc_from_dense(jnp.asarray(db.toarray()))
+    for B in (st.csr_from_dense(jnp.asarray(db.toarray())), Bc):
+        p_native = spgemm_prepare(A, B)
+        with mock.patch("sparse_tpu.native.plansort._lib", None), \
+             mock.patch("sparse_tpu.native.plansort._tried", True):
+            p_np = spgemm_prepare(A, B)
+        for f in ("a_pos", "b_pos", "seg", "indices", "indptr"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(p_native, f)), np.asarray(getattr(p_np, f))
+            )
