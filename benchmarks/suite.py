@@ -364,9 +364,18 @@ def bench_weak_scaling(quick):
 
 if __name__ == "__main__":
     quick = "--quick" in sys.argv
-    bench_csr(quick)
-    bench_csr_segtile(quick)
-    bench_bell(quick)
-    bench_spgemm(quick)
-    bench_distributed()
-    bench_weak_scaling(quick)
+    # sections are independent: a failure (tunnel hiccup, compile error)
+    # reports and moves on instead of killing the remaining metrics
+    for section in (bench_csr, bench_csr_segtile, bench_bell, bench_spgemm,
+                    bench_distributed, bench_weak_scaling):
+        try:
+            if section in (bench_distributed,):
+                section()
+            else:
+                section(quick)
+        except Exception as e:
+            print(json.dumps({
+                "metric": f"{section.__name__}_error",
+                "value": 0,
+                "unit": f"{type(e).__name__}: {str(e)[:160]}",
+            }), flush=True)
