@@ -102,30 +102,40 @@ def tpu_time(rows, cols, blocks, b, iters=3):
     import jax
     import jax.numpy as jnp
 
-    from sparse_tpu.formats.bell import bell_from_bsr, bell_spmm
-    from sparse_tpu.formats.bsr import BSR
+    from sparse_tpu.formats.bell import BELL, bell_spmm
     from sparse_tpu.ops.pallas_bell import bell_banded_prepare
     from sparse_tpu.ops.segmented import INDEX_DTYPE
 
     nb = NB
-    # construct on the HOST (BSR fields as numpy; bell_from_bsr is host-side)
-    # so the matrix crosses the device tunnel exactly once, at BELL creation
-    # — round-tripping 320 MB through a remote-TPU tunnel costs minutes.
-    a = bell_from_bsr(
-        BSR(
-            indices=(rows * nb + cols).astype(INDEX_DTYPE),
-            blocks=blocks,
-            n=nb * BSZ,
-            bsz=BSZ,
-        )
+    # build the BELL layout directly: the PATTERN (cols, slot validity) on
+    # the host (tiny), the VALUES on device from the same N(0, 0.01^2) pool
+    # distribution — nothing large crosses the device tunnel (a 320 MB block
+    # upload takes minutes when the tunnel is congested).  Values differ
+    # from the SciPy baseline's draw, which is fine: vs_baseline is a time
+    # ratio and SpMM time is value-independent.
+    lens = np.bincount(rows, minlength=nb)
+    Lb = int(lens.max())
+    starts = np.zeros(nb + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    slot = np.arange(rows.size) - starts[rows]
+    cols_np = np.zeros((nb, Lb), np.int32)
+    cols_np[rows, slot] = cols
+    slot_valid = np.arange(Lb)[None, :] < lens[:, None]
+
+    key = jax.random.PRNGKey(0)
+    pool = jax.random.normal(key, (1021, BSZ, BSZ), jnp.float32) * 0.01
+    idx = jnp.asarray((np.arange(nb * Lb) % 1021).astype(np.int32))
+    dev_blocks = (
+        pool[idx].reshape(nb, Lb, BSZ, BSZ)
+        * jnp.asarray(slot_valid, jnp.float32)[:, :, None, None]
     )
-    _mark("bell layout on device")
+    a = BELL(cols=jnp.asarray(cols_np, INDEX_DTYPE), blocks=dev_blocks,
+             n=nb * BSZ, bsz=BSZ)
+    _mark("bell layout on device (values device-generated)")
     # banded kit (plan + densified tiles, eager, once per matrix): rt=5
     # divides nb so the kernel output needs no tail slice; None falls back
     # to the fused kernel.  slot_valid from the host pattern (row lengths)
     # keeps the planner from pulling the block array back off the device.
-    lens = np.bincount(rows, minlength=nb)
-    slot_valid = np.arange(a.Lb)[None, :] < lens[:, None]
     plan = None
     if jax.default_backend() == "tpu":
         try:
@@ -134,7 +144,8 @@ def tpu_time(rows, cols, blocks, b, iters=3):
             _mark(f"banded prepare failed ({type(e).__name__}: {e}); "
                   "falling back to the fused kernel")
     _mark("banded plan + tiles prepared")
-    bj = jnp.asarray(b)
+    bj = (jax.random.normal(jax.random.PRNGKey(1), (nb * BSZ, K), jnp.float32)
+          * 0.01)
 
     @jax.jit
     def chain(a, b, plan):
