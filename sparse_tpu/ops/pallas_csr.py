@@ -101,8 +101,29 @@ def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
     wider windows pack patterns whose 8-row blocks span more than
     ``wsub*128`` columns into fewer, fuller tiles (e.g. a +-1000 band at 20
     nnz/row measures fill 0.036 at wsub=8; the block's ~2000-column span
-    fits one wsub=16 window).
+    fits one wsub=16 window).  ``wsub="auto"`` builds the cheap symbolic
+    sweep for all three and widens only when it cuts tiles by >= 1.7x per
+    doubling (the per-tile gather decomposition costs one extra native
+    gather + select per 8-sublane chunk, so a smaller reduction could lose
+    — provisional until per-wsub rates are measured on-chip).
     """
+    if wsub == "auto":
+        from ..native.plansort import seg_tile_layout as _stl
+
+        indptr_a = np.asarray(a.indptr)
+        cols_a = np.asarray(a.indices)[: int(indptr_a[-1])]
+        best = 8
+        prev = _stl(indptr_a, cols_a, 8)
+        if prev is not None:
+            prev_nt = prev[2].size
+            for cand in (16, 32):
+                nxt = _stl(indptr_a, cols_a, cand)
+                if nxt is None or prev_nt == 0:
+                    break
+                if prev_nt / max(nxt[2].size, 1) < 1.7:
+                    break
+                best, prev_nt = cand, nxt[2].size
+        wsub = best
     if wsub not in (8, 16, 32):
         raise ValueError(f"build_seg_tiles: wsub must be 8, 16, or 32, got {wsub}")
     n, m = a.shape

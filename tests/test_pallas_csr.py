@@ -169,3 +169,33 @@ def test_segtile_fused_key_sort_matches_lexsort():
             np.asarray(getattr(p_fused, f)), np.asarray(getattr(p_np, f))
         )
     assert p_fused.n_tiles == p_np.n_tiles and p_fused.chunks == p_np.chunks
+
+
+def test_segtile_auto_window_height():
+    # very wide band (blocks span ~16k columns): each doubling of the window
+    # cuts tiles ~2x, so auto widens; moderate/narrow bands stay at 8
+    rng = np.random.default_rng(71)
+    n = m = 32768
+    rows = np.repeat(np.arange(n, dtype=np.int64), 10)
+    cols = np.clip(rows + rng.integers(-8000, 8000, rows.size), 0, m - 1)
+    A = sp.coo_matrix((rng.standard_normal(rows.size), (rows, cols)),
+                      shape=(n, m)).tocsr()
+    A.sum_duplicates()
+    a = CSR(data=jnp.asarray(A.data, np.float32),
+            indices=jnp.asarray(A.indices.astype(np.int32)),
+            indptr=jnp.asarray(A.indptr.astype(np.int32)), shape=(n, m))
+    pa = build_seg_tiles(a, wsub="auto")
+    p8 = build_seg_tiles(a, wsub=8)
+    assert pa.wsub > 8 and pa.n_tiles < p8.n_tiles
+    x = rng.standard_normal(m).astype(np.float32)
+    got = np.asarray(csr_smvm_segtile(a, jnp.asarray(x), pa, interpret=True))
+    np.testing.assert_allclose(got, A @ x, rtol=2e-5, atol=2e-5)
+    # narrow band: widening saves < 1.7x per doubling, stay at 8
+    cols2 = np.clip(rows + rng.integers(-400, 400, rows.size), 0, m - 1)
+    B = sp.coo_matrix((rng.standard_normal(rows.size), (rows, cols2)),
+                      shape=(n, m)).tocsr()
+    B.sum_duplicates()
+    b = CSR(data=jnp.asarray(B.data, np.float32),
+            indices=jnp.asarray(B.indices.astype(np.int32)),
+            indptr=jnp.asarray(B.indptr.astype(np.int32)), shape=(n, m))
+    assert build_seg_tiles(b, wsub="auto").wsub == 8
