@@ -212,3 +212,95 @@ long long spgemm_schedule(const long long* a_indptr, long long n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Reverse Cuthill-McKee ordering on the symmetrized pattern (A + A^T).
+// The classic bandwidth-reducing permutation: BFS per connected component
+// from a minimum-degree seed, frontier neighbours appended in ascending
+// symmetrized-degree order (stable over ascending node id), whole order
+// reversed at the end.  Matches SciPy's reverse_cuthill_mckee semantics
+// (component seed = first unvisited minimum-degree node; per-node stable
+// degree sort).  Self-loops and reciprocal duplicates are deduplicated.
+//
+// Inputs: CSR pattern indptr [n+1] / cols [nnz] of an n x n matrix (column
+// order within a row does not matter).  Output: perm [n] with perm[k] = the
+// OLD index placed at NEW position k, i.e. A[perm][:, perm] is banded.
+// Returns 0 on success, -1 on bad arguments.
+long long rcm_order(const long long* indptr, long long n,
+                    const long long* cols, long long* perm) {
+  if (n < 0 || (n > 0 && (!indptr || !perm))) return -1;
+  if (n == 0) return 0;
+  const long long nnz = indptr[n];
+  if (nnz < 0 || (nnz > 0 && !cols)) return -1;
+
+  // symmetrize + dedup: emit (i,j) and (j,i) per entry, radix sort fused
+  // u64 keys, unique.
+  std::vector<uint64_t> keys;
+  keys.reserve(static_cast<size_t>(2 * nnz));
+  const uint64_t un = static_cast<uint64_t>(n);
+  for (long long i = 0; i < n; ++i) {
+    for (long long p = indptr[i]; p < indptr[i + 1]; ++p) {
+      const long long j = cols[p];
+      if (j < 0 || j >= n) return -1;
+      if (j == static_cast<long long>(i)) continue;  // self-loops: no edge
+      keys.push_back(static_cast<uint64_t>(i) * un + static_cast<uint64_t>(j));
+      keys.push_back(static_cast<uint64_t>(j) * un + static_cast<uint64_t>(i));
+    }
+  }
+  std::sort(keys.begin(), keys.end());
+  keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+  const long long ne = static_cast<long long>(keys.size());
+
+  std::vector<long long> adj_ptr(static_cast<size_t>(n) + 1, 0);
+  std::vector<long long> adj(static_cast<size_t>(ne));
+  for (long long e = 0; e < ne; ++e)
+    ++adj_ptr[keys[e] / un + 1];
+  for (long long i = 0; i < n; ++i) adj_ptr[i + 1] += adj_ptr[i];
+  for (long long e = 0; e < ne; ++e)
+    adj[e] = static_cast<long long>(keys[e] % un);  // sorted keys: rows
+                                                    // grouped, cols ascending
+
+  std::vector<long long> deg(static_cast<size_t>(n));
+  for (long long i = 0; i < n; ++i) deg[i] = adj_ptr[i + 1] - adj_ptr[i];
+
+  std::vector<unsigned char> visited(static_cast<size_t>(n), 0);
+  std::vector<std::pair<long long, long long>> nbr;  // (degree, node)
+  long long head = 0, tail = 0;   // perm doubles as the BFS queue
+  long long seed_scan = 0;        // nodes before this are all visited
+  while (tail < n) {
+    // next component: first unvisited minimum-degree node
+    while (visited[seed_scan]) ++seed_scan;
+    long long seed = seed_scan;
+    for (long long i = seed_scan + 1; i < n; ++i)
+      if (!visited[i] && deg[i] < deg[seed]) seed = i;
+    visited[seed] = 1;
+    perm[tail++] = seed;
+    while (head < tail) {
+      const long long u = perm[head++];
+      nbr.clear();
+      for (long long p = adj_ptr[u]; p < adj_ptr[u + 1]; ++p) {
+        const long long v = adj[p];
+        if (!visited[v]) {
+          visited[v] = 1;
+          nbr.emplace_back(deg[v], v);
+        }
+      }
+      std::stable_sort(nbr.begin(), nbr.end(),
+                       [](const std::pair<long long, long long>& a,
+                          const std::pair<long long, long long>& b) {
+                         return a.first < b.first;
+                       });
+      for (const auto& dv : nbr) perm[tail++] = dv.second;
+    }
+  }
+  // reverse
+  for (long long i = 0, j = n - 1; i < j; ++i, --j) {
+    const long long t = perm[i];
+    perm[i] = perm[j];
+    perm[j] = t;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -14,7 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["argsort_u64", "seg_tile_layout", "spgemm_schedule"]
+__all__ = ["argsort_u64", "seg_tile_layout", "spgemm_schedule", "rcm_order"]
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "_plansort.cpp"
@@ -42,6 +42,7 @@ def _load():
             lib.radix_argsort_u64.restype = ctypes.c_int64
             lib.seg_tile_layout.restype = ctypes.c_int64
             lib.spgemm_schedule.restype = ctypes.c_int64
+            lib.rcm_order.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib = None
@@ -104,6 +105,30 @@ def seg_tile_layout(indptr: np.ndarray, cols: np.ndarray, wsub: int):
     if nt < 0:
         return None
     return pos, sub, seg_of[:nt], t_rb[:nt]
+
+
+def rcm_order(indptr: np.ndarray, cols: np.ndarray) -> np.ndarray | None:
+    """Native reverse Cuthill-McKee ordering of an n x n CSR pattern
+    (ops/reorder.rcm_order's core): returns ``perm`` with ``perm[k]`` = old
+    index at new position k, or None when the native library is unavailable.
+    Symmetrizes internally; bit-identical to the NumPy path (tests pin
+    this)."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    n = indptr.size - 1
+    perm = np.empty(max(n, 1), np.int64)
+    rc = lib.rcm_order(
+        ctypes.c_void_p(indptr.ctypes.data),
+        ctypes.c_int64(n),
+        ctypes.c_void_p(cols.ctypes.data),
+        ctypes.c_void_p(perm.ctypes.data),
+    )
+    if rc != 0:
+        return None
+    return perm[:n]
 
 
 def spgemm_schedule(a_indptr, a_indices, b_starts, b_cols, b_src,
