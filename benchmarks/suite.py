@@ -147,6 +147,71 @@ def bench_csr_segtile(quick):
          eff / MEASURED_CEILING_GBPS)
 
 
+def bench_reorder(quick):
+    """RCM locality recovery (BASELINE config 2, scrambled ordering): the
+    same band as bench_csr_segtile but with rows/columns shuffled by a
+    random permutation — structure present, input ordering hides it (the
+    typical state of SuiteSparse/FEM inputs).  Measures the end-to-end
+    reordered SpMV (permute operand -> segtile kernel -> unpermute result)
+    against the XLA path on the scrambled matrix.  TPU only."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return
+    from sparse_tpu import CSR, csr_bandwidth, permute_vector, \
+        reorder_for_locality, unpermute_vector
+    from sparse_tpu.native import plansort
+    from sparse_tpu.ops.pallas_csr import build_seg_tiles, csr_smvm_segtile
+    from sparse_tpu.ops.spmv import build_spmv_plan, csr_smvm_fast
+
+    rng = np.random.default_rng(8)
+    n = m = 250_000 if quick else 500_000
+    per_row = 20
+    rows = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    cols = np.clip(rows + rng.integers(-1000, 1000, rows.size), 0, m - 1)
+    p = rng.permutation(n).astype(np.int64)
+    rows, cols = p[rows], p[cols]
+    order = plansort.argsort_u64(rows * (m + 1) + cols)
+    rows, cols = rows[order], cols[order]
+    keep = np.ones(rows.size, bool)
+    keep[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+    rows, cols = rows[keep], cols[keep]
+    nnz = rows.size
+    vals = (rng.standard_normal(nnz) * 0.01).astype(np.float32)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
+    a = CSR(
+        data=jnp.asarray(vals),
+        indices=jnp.asarray(cols.astype(np.int32)),
+        indptr=jnp.asarray(indptr.astype(np.int32)),
+        shape=(n, m),
+    )
+    v0 = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+
+    # scrambled baseline: the XLA row-binned path (the segtile kernel
+    # refuses this pattern — fill collapses below its dispatch floor)
+    plan_x = build_spmv_plan(a)
+    t = timed_chain(lambda v, a, plan: csr_smvm_fast(a, v, plan),
+                    v0, a, plan_x, iters=1)
+    emit("csr_spmv_scrambled_band_nnzps", nnz / t / 1e9, "Gnnz/s")
+
+    t0 = time.perf_counter()
+    ap, perm = reorder_for_locality(a)
+    emit("rcm_reorder_seconds", time.perf_counter() - t0, "s")
+    emit("rcm_bandwidth_reduction", csr_bandwidth(a) / max(csr_bandwidth(ap), 1),
+         "x")
+    plan = build_seg_tiles(ap)
+    pj = jnp.asarray(perm)
+
+    def step(v, ap, plan, pj):
+        y = csr_smvm_segtile(ap, v[pj], plan)
+        return jnp.zeros_like(y).at[pj].set(y)
+
+    t = timed_chain(step, v0, ap, plan, pj)
+    emit("csr_spmv_rcm_segtile_nnzps", nnz / t / 1e9, "Gnnz/s")
+
+
 def bench_bell(quick):
     import jax.numpy as jnp
 
@@ -366,8 +431,8 @@ if __name__ == "__main__":
     quick = "--quick" in sys.argv
     # sections are independent: a failure (tunnel hiccup, compile error)
     # reports and moves on instead of killing the remaining metrics
-    for section in (bench_csr, bench_csr_segtile, bench_bell, bench_spgemm,
-                    bench_distributed, bench_weak_scaling):
+    for section in (bench_csr, bench_csr_segtile, bench_reorder, bench_bell,
+                    bench_spgemm, bench_distributed, bench_weak_scaling):
         try:
             if section in (bench_distributed,):
                 section()
