@@ -55,9 +55,10 @@ def timed_chain(step, v0, *operands, iters=3):
 
 
 def emit(metric, value, unit, vs=None):
-    rec = {"metric": metric, "value": round(value, 3), "unit": unit}
+    # 4 significant digits (fixed decimals would zero out rel-err metrics)
+    rec = {"metric": metric, "value": float(f"{value:.4g}"), "unit": unit}
     if vs is not None:
-        rec["vs_baseline"] = round(vs, 3)
+        rec["vs_baseline"] = float(f"{vs:.4g}")
     print(json.dumps(rec), flush=True)
 
 
@@ -270,39 +271,109 @@ def bench_bell(quick):
     slot_valid = np.arange(a.Lb)[None, :] < lens[:, None]
     plan = (bell_banded_prepare(a, row_tile=5, slot_valid=slot_valid)
             if jax.default_backend() == "tpu" and nb % 5 == 0 else None)
+    from sparse_tpu.ops.pallas_bell import banded_spmm_hbm_bytes
+
     for k in (32, 64, 128, 256):
         b0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.01)
         t = timed_chain(lambda b, a, plan: bell_spmm(a, b, plan=plan), b0, a, plan)
-        # same minimum-traffic model as bench.py: blocks + block col ids +
-        # one gathered (bsz, k) operand panel per block + output
+        # min-traffic model (cross-format comparability): blocks + block col
+        # ids + one gathered (bsz, k) operand panel per block + output
         eff = (rows.size * (bsz * bsz * 4 + 4 + bsz * k * 4) + n * k * 4) / t / 1e9
         emit(f"bell_spmm_k{k}_gflops", 2 * nnz * k / t / 1e9, "GFLOP/s")
-        emit(f"bell_spmm_k{k}_eff_bw", eff, "GB/s", eff / MEASURED_CEILING_GBPS)
+        emit(f"bell_spmm_k{k}_eff_bw", eff, "GB/s")
+        if plan is not None:
+            # measured-traffic roofline: actual plan-derived HBM bytes —
+            # this is the number held against the 207 GB/s ceiling
+            hbm = banded_spmm_hbm_bytes(plan, bsz, n, k) / t / 1e9
+            emit(f"bell_spmm_k{k}_hbm_bw", hbm, "GB/s",
+                 hbm / MEASURED_CEILING_GBPS)
 
     # precision ladder at k=128: the f32 default (HIGHEST = 6-pass bf16 on
     # the MXU) pays ~half the iteration in matmul passes at this size;
-    # HIGH (3-pass) and bf16 streaming (1-pass + half the matrix/operand
-    # bytes) trade documented accuracy for rate.  Accuracy vs an f64 oracle
-    # is recorded in docs/performance.md.
+    # bf16x3 (manual 3-pass split; Mosaic implements neither Precision.HIGH
+    # nor DotAlgorithmPreset) and bf16 streaming (1-pass + half the
+    # matrix/operand bytes) trade documented accuracy for rate.  The
+    # accuracy ladder vs an f64 oracle is bench_bell_accuracy below.
     if plan is not None:
         k = 128
         b0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.01)
-        model = rows.size * (bsz * bsz * 4 + 4 + bsz * k * 4) + n * k * 4
         t = timed_chain(
-            lambda b, a, plan: bell_spmm(a, b, plan=plan,
-                                         precision=jax.lax.Precision.HIGH),
+            lambda b, a, plan: bell_spmm(a, b, plan=plan, precision="bf16x3"),
             b0, a, plan,
         )
-        emit("bell_spmm_k128_f32hi_gflops", 2 * nnz * k / t / 1e9, "GFLOP/s")
-        emit("bell_spmm_k128_f32hi_eff_bw", model / t / 1e9, "GB/s",
-             model / t / 1e9 / MEASURED_CEILING_GBPS)
+        hbm = banded_spmm_hbm_bytes(plan, bsz, n, k) / t / 1e9
+        emit("bell_spmm_k128_bf16x3_gflops", 2 * nnz * k / t / 1e9, "GFLOP/s")
+        emit("bell_spmm_k128_bf16x3_hbm_bw", hbm, "GB/s",
+             hbm / MEASURED_CEILING_GBPS)
         kit16 = bell_banded_prepare(a, row_tile=5, slot_valid=slot_valid,
                                     compute_dtype=jnp.bfloat16)
         t = timed_chain(lambda b, a, kit: bell_spmm(a, b, plan=kit),
                         b0, a, kit16)
+        hbm = banded_spmm_hbm_bytes(kit16, bsz, n, k) / t / 1e9
         emit("bell_spmm_k128_bf16_gflops", 2 * nnz * k / t / 1e9, "GFLOP/s")
-        emit("bell_spmm_k128_bf16_eff_bw", model / t / 1e9, "GB/s",
-             model / t / 1e9 / MEASURED_CEILING_GBPS)
+        emit("bell_spmm_k128_bf16_hbm_bw", hbm, "GB/s",
+             hbm / MEASURED_CEILING_GBPS)
+
+
+def bench_bell_accuracy(quick):
+    """Precision-ladder accuracy vs an f64 oracle (small instance of the
+    bench band): max relative error of the banded kernel at HIGHEST (f32
+    default), bf16x3, and bf16 streaming.  Documents what each rung of the
+    ladder costs in digits before anyone trades accuracy for rate."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return
+    from sparse_tpu.formats.bell import BELL, bell_spmm
+    from sparse_tpu.ops.pallas_bell import bell_banded_prepare
+    from sparse_tpu.ops.segmented import INDEX_DTYPE
+
+    rng = np.random.default_rng(7)
+    bsz, half, nb, k = 32, 2, 320, 128
+    n = nb * bsz
+    rows, cols = [], []
+    for off in range(-half, half + 1):
+        r = np.arange(max(0, -off), min(nb, nb - off), dtype=np.int64)
+        rows.append(r)
+        cols.append(r + off)
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    lens = np.bincount(rows, minlength=nb)
+    Lb = int(lens.max())
+    starts = np.zeros(nb + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    slot = np.arange(rows.size) - starts[rows]
+    cols_np = np.zeros((nb, Lb), np.int64)
+    cols_np[rows, slot] = cols
+    blocks_np = np.zeros((nb, Lb, bsz, bsz), np.float32)
+    blocks_np[rows, slot] = rng.standard_normal(
+        (rows.size, bsz, bsz)).astype(np.float32)
+    slot_valid = np.arange(Lb)[None, :] < lens[:, None]
+    b_np = rng.standard_normal((n, k)).astype(np.float32)
+
+    # f64 oracle on the host
+    dense = np.zeros((n, n), np.float64)
+    for (r, c, blk) in zip(rows, cols, blocks_np[rows, slot]):
+        dense[r * bsz:(r + 1) * bsz, c * bsz:(c + 1) * bsz] = blk
+    oracle = dense @ b_np.astype(np.float64)
+    scale = np.abs(oracle).max()
+
+    a = BELL(cols=jnp.asarray(cols_np, INDEX_DTYPE),
+             blocks=jnp.asarray(blocks_np), n=n, bsz=bsz)
+    bj = jnp.asarray(b_np)
+    for name, kit_kw, prec in (
+        ("f32_highest", {}, None),
+        ("bf16x3", {}, "bf16x3"),
+        ("bf16", {"compute_dtype": jnp.bfloat16}, None),
+    ):
+        kit = bell_banded_prepare(a, row_tile=8, slot_valid=slot_valid,
+                                  **kit_kw)
+        out = np.asarray(bell_spmm(a, bj, plan=kit, precision=prec))
+        err = np.abs(out.astype(np.float64) - oracle).max() / scale
+        emit(f"bell_spmm_k128_{name}_relerr", err, "rel")
 
 
 def bench_spgemm(quick):
@@ -328,6 +399,53 @@ def bench_spgemm(quick):
             best = min(best, time.perf_counter() - t0)
         suffix = "" if method == "mxu" else "_esc"
         emit(f"spgemm_aa{suffix}_gflops", flops / best / 1e9, "GFLOP/s")
+
+
+def bench_spgemm_prepared(quick):
+    """Prepared SpGEMM (the solver idiom: one symbolic pass per pattern
+    pair, many numeric passes as values change — FEM Jacobians, AMG Galerkin
+    products).  Records the host prepare cost and the on-chip
+    ``spgemm_apply`` numeric rate (sort-free: two gathers + one pre-sorted
+    segment-sum)."""
+    import jax.numpy as jnp
+
+    from sparse_tpu import CSR
+    from sparse_tpu.ops.spgemm import spgemm_apply, spgemm_prepare
+
+    rng = np.random.default_rng(5)
+    n = 20_000 if quick else 50_000
+    per_row = 10
+    rows = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    cols = rng.integers(0, n, rows.size, dtype=np.int64)
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    keep = np.ones(rows.size, bool)
+    keep[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+    rows, cols = rows[keep], cols[keep]
+    vals = (rng.standard_normal(rows.size) * 0.01).astype(np.float32)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
+    a = CSR(
+        data=jnp.asarray(vals),
+        indices=jnp.asarray(cols.astype(np.int32)),
+        indptr=jnp.asarray(indptr.astype(np.int32)),
+        shape=(n, n),
+    )
+    t0 = time.perf_counter()
+    plan = spgemm_prepare(a, a)
+    emit("spgemm_prepare_seconds", time.perf_counter() - t0, "s")
+    emit("spgemm_prepare_products", plan.n_products / 1e6, "M")
+
+    def step(adata, plan, a):
+        a2 = CSR(data=adata, indices=a.indices, indptr=a.indptr,
+                 shape=a.shape)
+        c = spgemm_apply(plan, a2, a2)
+        # data-dependent feedback without changing magnitudes
+        return adata * (1.0 + 1e-30 * jnp.sum(c.data))
+
+    t = timed_chain(step, a.data, plan, a)
+    emit("spgemm_apply_gflops", 2 * plan.n_products / t / 1e9, "GFLOP/s")
+    emit("spgemm_apply_ms", t * 1e3, "ms")
 
 
 def bench_distributed():
@@ -432,7 +550,8 @@ if __name__ == "__main__":
     # sections are independent: a failure (tunnel hiccup, compile error)
     # reports and moves on instead of killing the remaining metrics
     for section in (bench_csr, bench_csr_segtile, bench_reorder, bench_bell,
-                    bench_spgemm, bench_distributed, bench_weak_scaling):
+                    bench_bell_accuracy, bench_spgemm, bench_spgemm_prepared,
+                    bench_distributed, bench_weak_scaling):
         try:
             if section in (bench_distributed,):
                 section()

@@ -143,6 +143,29 @@ long long seg_tile_layout(const long long* indptr, long long n,
   return n_tiles;
 }
 
+// Stable counting argsort by small integer keys (one count + one placement
+// pass — ~4x fewer array sweeps than the byte-wise radix when keys are
+// already bucket-sized, e.g. segment-tile ids).  Returns 0 on success,
+// nonzero when a key falls outside [0, nbuckets).
+long long counting_argsort_i64(const long long* keys, long long n,
+                               long long nbuckets, long long* idx) {
+  if (n < 0 || nbuckets <= 0 || (n > 0 && (!keys || !idx))) return 1;
+  std::vector<long long> count(static_cast<size_t>(nbuckets) + 1, 0);
+  for (long long i = 0; i < n; ++i) {
+    const long long k = keys[i];
+    if (k < 0 || k >= nbuckets) return 2;
+    ++count[k];
+  }
+  long long at = 0;
+  for (long long b = 0; b < nbuckets; ++b) {
+    const long long c = count[b];
+    count[b] = at;
+    at += c;
+  }
+  for (long long i = 0; i < n; ++i) idx[count[keys[i]]++] = i;
+  return 0;
+}
+
 }  // extern "C"
 
 extern "C" {

@@ -14,7 +14,8 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["argsort_u64", "seg_tile_layout", "spgemm_schedule", "rcm_order"]
+__all__ = ["argsort_u64", "counting_argsort", "seg_tile_layout",
+           "spgemm_schedule", "rcm_order"]
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "_plansort.cpp"
@@ -40,6 +41,7 @@ def _load():
                 )
             lib = ctypes.CDLL(str(_SO))
             lib.radix_argsort_u64.restype = ctypes.c_int64
+            lib.counting_argsort_i64.restype = ctypes.c_int64
             lib.seg_tile_layout.restype = ctypes.c_int64
             lib.spgemm_schedule.restype = ctypes.c_int64
             lib.rcm_order.restype = ctypes.c_int64
@@ -73,6 +75,27 @@ def argsort_u64(keys: np.ndarray) -> np.ndarray:
     if rc != 0:
         return np.argsort(keys, kind="stable")
     return out
+
+
+def counting_argsort(keys: np.ndarray, nbuckets: int) -> np.ndarray:
+    """Stable argsort of integer keys known to lie in [0, nbuckets).
+
+    One counting + one placement pass natively (~4x fewer sweeps than the
+    byte radix when buckets are small, e.g. segment-tile ids); NumPy stable
+    argsort as the fallback."""
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    lib = _load()
+    if lib is not None and nbuckets > 0:
+        out = np.empty(keys.size, np.int64)
+        rc = lib.counting_argsort_i64(
+            ctypes.c_void_p(keys.ctypes.data),
+            ctypes.c_int64(keys.size),
+            ctypes.c_int64(nbuckets),
+            ctypes.c_void_p(out.ctypes.data),
+        )
+        if rc == 0:
+            return out
+    return np.argsort(keys, kind="stable")
 
 
 def seg_tile_layout(indptr: np.ndarray, cols: np.ndarray, wsub: int):

@@ -29,7 +29,8 @@ from ..formats.bell import BELL
 _wp_dataclass = _wp_dc.dataclass
 
 __all__ = ["bell_spmm_pallas", "bell_spmm_pallas_fused",
-           "build_banded_plan", "BandedPlan", "bell_spmm_pallas_banded"]
+           "build_banded_plan", "BandedPlan", "bell_spmm_pallas_banded",
+           "banded_spmm_hbm_bytes"]
 
 
 def _make_kernel(prec):
@@ -94,12 +95,42 @@ def _resolve_precision(precision, stream_dtype):
     (the MXU's default single bf16 pass loses ~3 decimal digits — measured
     1.2e-2 relative on the bench matrix, far outside the library's f32
     contract); explicit ``compute_dtype=bf16`` or ``precision=`` opts into
-    the fast path."""
+    the fast path.  ``precision="bf16x3"`` selects the in-kernel 3-pass
+    split (:func:`_dot_bf16x3`) — Mosaic implements neither
+    ``Precision.HIGH`` nor the ``DotAlgorithmPreset`` spellings, so the
+    split is done by hand."""
     if precision is not None:
         return precision
     if jnp.dtype(stream_dtype) == jnp.float32:
         return jax.lax.Precision.HIGHEST
     return None
+
+
+def _dot_bf16x3(x, w, out_dtype):
+    """3-pass bf16 emulation of an f32 matmul (~HIGH precision): split each
+    operand into a bf16 high part and a bf16 residual, drop the lo@lo term.
+    Relative error ~2^-21 vs HIGHEST's ~2^-24; 3 MXU passes vs 6."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    wh = w.astype(jnp.bfloat16)
+    wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    dot = lambda p, q: jax.lax.dot_general(
+        p, q, dimension_numbers=dn, preferred_element_type=out_dtype
+    )
+    return dot(xh, wh) + dot(xh, wl) + dot(xl, wh)
+
+
+def _tile_dot(x, w, out_dtype, prec):
+    if prec == "bf16x3":
+        return _dot_bf16x3(x, w, out_dtype)
+    return jax.lax.dot_general(
+        x,
+        w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=out_dtype,
+        precision=prec,
+    )
 
 
 def bell_spmm_pallas_fused(a: BELL, b: jax.Array, *,
@@ -406,13 +437,7 @@ def bell_spmm_pallas_banded(a: BELL, b: jax.Array, plan: "BandedPlan", *,
                 # value-level lax.dynamic_slice does not lower for TC
                 # kernels), offset in panels: rel + W <= SW by construction
                 w = win_ref[pl.ds(off, W)].reshape(W * bsz, k)
-                o_ref[s] = jax.lax.dot_general(
-                    t_ref[s],
-                    w,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=o_ref.dtype,
-                    precision=prec,
-                )
+                o_ref[s] = _tile_dot(t_ref[s], w, o_ref.dtype, prec)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -447,12 +472,8 @@ def bell_spmm_pallas_banded(a: BELL, b: jax.Array, plan: "BandedPlan", *,
         return out if nb_pad == nb else out[: a.n]
 
     def kernel(start_ref, t_ref, win_ref, o_ref):
-        o_ref[0] = jax.lax.dot_general(
-            t_ref[0],
-            win_ref[...].reshape(W * bsz, k),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=o_ref.dtype,
-            precision=prec,
+        o_ref[0] = _tile_dot(
+            t_ref[0], win_ref[...].reshape(W * bsz, k), o_ref.dtype, prec
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -507,6 +528,23 @@ class BandedKit:
 
     plan: BandedPlan
     tiles: jax.Array
+
+
+def banded_spmm_hbm_bytes(kit: "BandedKit", bsz: int, n: int, k: int,
+                          out_itemsize: int = 4) -> int:
+    """Actual HBM bytes one banded SpMM moves, derived from the plan: the
+    densified tiles once, ONE ``SW``-panel operand window per super-step
+    (the kernel's real read pattern — band overlap between adjacent tiles is
+    re-read, unlike the min-traffic model's one panel per stored block), and
+    the output once.  Matches the kernel's ``CostEstimate``.  Use this for
+    roofline fractions; the min-traffic model stays for cross-format
+    comparability but can exceed the streaming ceiling when windows overlap
+    (docs/performance.md)."""
+    plan = kit.plan
+    esz = jnp.dtype(kit.tiles.dtype).itemsize
+    ntiles = kit.tiles.shape[0]
+    window_bytes = (ntiles // plan.S) * plan.SW * bsz * k * esz
+    return kit.tiles.size * esz + window_bytes + n * k * out_itemsize
 
 
 def bell_banded_prepare(a: BELL, row_tile: int | None = None,

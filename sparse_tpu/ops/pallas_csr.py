@@ -129,11 +129,9 @@ def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
     n, m = a.shape
     indptr = np.asarray(a.indptr)
     cols = np.asarray(a.indices).astype(np.int64)
-    vals = np.asarray(a.data)
     nnz = int(indptr[-1])
     nb8 = -(-max(n, 1) // 8)
     cols = cols[:nnz]
-    vals = vals[:nnz]
 
     # fast path: the whole bucketing sweep in native code (one O(nnz) pass;
     # bit-identical tile numbering, pinned by tests).  This host's NumPy
@@ -143,9 +141,8 @@ def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
     native = seg_tile_layout(indptr, cols, wsub) if nnz else None
     if native is not None:
         pos_src, sub_src, t_base, t_rb = native
-        val_src = vals
         n_real = t_base.size
-        return _finish_plan(a, n, m, nnz, wsub, pos_src, sub_src, val_src,
+        return _finish_plan(a, n, m, nnz, wsub, pos_src, sub_src, None,
                             t_base, t_rb, n_real)
 
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
@@ -174,7 +171,7 @@ def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
     else:
         order = np.lexsort((sub, lane, rows, win, rb))
     rb_o, win_o, lane_o = rb[order], win[order], lane[order]
-    rows_o, vals_o, sub_o = rows[order], vals[order], sub[order]
+    rows_o, sub_o = rows[order], sub[order]
     base_o = base[order]
     ri = rows_o & 7
 
@@ -222,18 +219,44 @@ def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
         t_rb = np.zeros(0, np.int64)
 
     pos_src = tile_of * (8 * _LANES) + ri * _LANES + lane_o
-    return _finish_plan(a, n, m, nnz, wsub, pos_src, sub_o, vals_o,
+    return _finish_plan(a, n, m, nnz, wsub, pos_src, sub_o, order,
                         t_base, t_rb, n_real)
 
 
-def _finish_plan(a, n, m, nnz, wsub, pos_src, sub_src, val_src,
+@partial(jax.jit, static_argnums=2)
+def _fill_slots(pos, vals, size):
+    """Dense slot array from (sorted unique positions, values)."""
+    return (
+        jnp.zeros((size,), vals.dtype)
+        .at[pos]
+        .set(vals, unique_indices=True, indices_are_sorted=True)
+    )
+
+
+@partial(jax.jit, static_argnums=3)
+def _fill_gather(pos, src, data, size):
+    """Dense slot array gathering values straight from the device-resident
+    data array (skips pulling it to the host and re-uploading)."""
+    return (
+        jnp.zeros((size,), data.dtype)
+        .at[pos]
+        .set(data[src], unique_indices=True, indices_are_sorted=True)
+    )
+
+
+def _finish_plan(a, n, m, nnz, wsub, pos_src, sub_src, src_index,
                  t_base, t_rb, n_real) -> SegTilePlan:
     """Shared plan tail: tile padding, SMEM chunking, and the device-side
-    scatter of the padded slot arrays.  Ships ONE flat int32 slot position
-    per entry (9 B/nnz total vs 17 B/nnz for 3-D coords); slot positions are
-    unique by construction, which lets XLA skip the collision-safe
-    serialized scatter path.  ``pos_src``/``sub_src``/``val_src`` may be in
-    any consistent entry order (the scatter is order-agnostic)."""
+    fill of the padded slot arrays.
+
+    Entries are counting-sorted by tile id host-side — within a tile both
+    layout paths emit entries in (ri, lane)-ascending order, so sorting by
+    tile alone fully sorts the slot positions, and the device fill can
+    assert ``indices_are_sorted`` (XLA compiles that scatter ~10x faster
+    than the general one).  Values never leave the device: ``_fill_gather``
+    reads ``a.data`` through the sorted entry permutation (``src_index``
+    maps pos positions to original entry ids; None = identity).  Ships pos
+    + entry ids as int32 (8 B/nnz)."""
     n_tiles = max(-(-max(n_real, 1) // _K) * _K, _K)
     seg_of = np.zeros(n_tiles, np.int32)
     t_rb_pad = np.zeros(n_tiles, np.int32)
@@ -253,16 +276,26 @@ def _finish_plan(a, n, m, nnz, wsub, pos_src, sub_src, val_src,
             f"build_seg_tiles: {n_tiles} tiles overflows int32 slot "
             "positions (8 GB of slot storage — use the XLA path)"
         )
-    pos = jnp.asarray(np.asarray(pos_src).astype(np.int32))
-    tvals = (
-        jnp.zeros((n_tiles * 8 * _LANES,), a.dtype)
-        .at[pos].set(jnp.asarray(val_src), unique_indices=True)
-        .reshape(n_tiles, 8, _LANES)
-    )
+    from ..native.plansort import counting_argsort
+
+    pos_np = np.asarray(pos_src)
+    order = (counting_argsort(pos_np >> 10, max(n_real, 1)) if nnz
+             else np.zeros(0, np.int64))
+    pos = jnp.asarray(pos_np[order].astype(np.int32))
+    entry = np.asarray(src_index)[order] if src_index is not None else order
+    eidx = jnp.asarray(entry.astype(np.int32))
+    tvals = _fill_gather(
+        pos, eidx, a.data, n_tiles * 8 * _LANES
+    ).reshape(n_tiles, 8, _LANES)
+    # q scatters as f32 (values 0..31, exact) so this reuses the f32
+    # executable _fill_slots just compiled — the int8 scatter costs its own
+    # ~9 s XLA compile; the device-side cast is negligible
     tq = (
-        jnp.zeros((n_tiles * 8 * _LANES,), jnp.int8)
-        .at[pos].set(jnp.asarray(sub_src, dtype=jnp.int8),
-                     unique_indices=True)
+        _fill_slots(
+            pos, jnp.asarray(np.asarray(sub_src)[order].astype(np.float32)),
+            n_tiles * 8 * _LANES,
+        )
+        .astype(jnp.int8)
         .reshape(n_tiles, 8, _LANES)
     )
     return SegTilePlan(
@@ -401,6 +434,18 @@ def csr_smvm_auto(a: CSR, v: jax.Array,
     ):
         if plan is None:
             try:
+                nse = a.data.shape[0]
+                if nse > 1_000_000:
+                    import warnings
+
+                    warnings.warn(
+                        f"csr_smvm_auto: building a segment-tile plan for "
+                        f"{nse} stored entries (~{nse / 1e6:.0f} s host-side"
+                        " at this host's rate); build it once with "
+                        "build_seg_tiles(a) and pass plan= if you call this "
+                        "more than once per pattern",
+                        stacklevel=2,
+                    )
                 plan = build_seg_tiles(a, wsub=wsub)
             except jax.errors.TracerArrayConversionError:
                 plan = None  # inside jit without a plan: use the XLA path
