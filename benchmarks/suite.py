@@ -213,6 +213,74 @@ def bench_reorder(quick):
     emit("csr_spmv_rcm_segtile_nnzps", nnz / t / 1e9, "Gnnz/s")
 
 
+def bench_real_matrices(quick):
+    """Real-structure matrices (BASELINE configs 2-4's SuiteSparse stand-ins;
+    zero egress, so benchmarks/gen_fixtures.py assembles the same matrix
+    classes from first principles): committed .mtx fixtures are parsed by
+    the library's own reader, pushed through reorder -> segtile -> SpMV, and
+    a large in-process FEM instance gives the roofline-relevant rate.
+
+    Per matrix: nnz, RCM bandwidth reduction, segment-tile fill (the
+    dispatch statistic), and the reordered-kernel vs XLA-path SpMV rates."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_tpu import csr_bandwidth, reorder_for_locality
+    from sparse_tpu.io.matrix_market import mm_read
+    from sparse_tpu.ops.pallas_csr import build_seg_tiles, csr_smvm_segtile
+    from sparse_tpu.ops.spmv import build_spmv_plan, csr_smvm_fast
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(11)
+
+    def run_one(tag, a):
+        n, m = a.shape
+        nnz = int(np.asarray(a.indptr)[-1])
+        emit(f"{tag}_nnz", nnz / 1e6, "Mnnz")
+        bw0 = csr_bandwidth(a)
+        ap, perm = reorder_for_locality(a)
+        emit(f"{tag}_rcm_bw_reduction", bw0 / max(csr_bandwidth(ap), 1), "x")
+        plan = build_seg_tiles(ap)
+        emit(f"{tag}_segtile_fill", plan.fill, "ratio")
+        if not on_tpu:
+            return
+        v0 = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+        px = build_spmv_plan(a)
+        t = timed_chain(lambda v, a, p: csr_smvm_fast(a, v, p), v0, a, px)
+        emit(f"{tag}_spmv_xla_nnzps", nnz / t / 1e9, "Gnnz/s")
+        # the segtile kernel only wins above its fill floor (pallas_csr
+        # dispatch); report it regardless so off-family threshold checks
+        # have data, flagged by the fill metric above
+        pj = jnp.asarray(perm)
+
+        def step(v, ap, plan, pj):
+            y = csr_smvm_segtile(ap, v[pj], plan)
+            return jnp.zeros_like(y).at[pj].set(y)
+
+        t = timed_chain(step, v0, ap, plan, pj)
+        emit(f"{tag}_spmv_rcm_segtile_nnzps", nnz / t / 1e9, "Gnnz/s")
+
+    fixtures = pathlib.Path(__file__).parent / "matrices"
+    for path in sorted(fixtures.glob("*.mtx")):
+        run_one(path.stem, mm_read(str(path), dtype=np.float32))
+
+    if not quick:
+        # large FEM instance, generated in-process (roofline-relevant size)
+        sys.path.insert(0, str(pathlib.Path(__file__).parent))
+        from gen_fixtures import poisson_fem
+
+        s = poisson_fem(n_points=400_000, seed=6)
+        from sparse_tpu import CSR
+
+        a = CSR(
+            data=jnp.asarray(s.data.astype(np.float32)),
+            indices=jnp.asarray(s.indices.astype(np.int32)),
+            indptr=jnp.asarray(s.indptr.astype(np.int32)),
+            shape=s.shape,
+        )
+        run_one("fem_poisson_400k", a)
+
+
 def bench_bell(quick):
     import jax.numpy as jnp
 
@@ -448,6 +516,88 @@ def bench_spgemm_prepared(quick):
     emit("spgemm_apply_ms", t * 1e3, "ms")
 
 
+def bench_bsr_spgemm(quick):
+    """Block SpGEMM (the TPU-native sparse x sparse path).  Measured fact
+    (docs/performance.md): XLA's element gather runs at a flat ~88 M
+    elements/s on the v5e regardless of index locality — an op-rate wall
+    that caps any scalar-gather SpGEMM near 0.1 GFLOP/s.  The blocked
+    formulation moves 4 KB blocks per gather and multiplies on the MXU,
+    so the same machinery runs ~3 orders of magnitude faster.  Reference
+    semantics: blocked_square_regular.fut:336-363."""
+    import jax.numpy as jnp
+
+    from sparse_tpu.formats.bsr import (
+        BSR, bsr_smsmm, bsr_smsmm_apply, bsr_smsmm_prepare,
+    )
+    from sparse_tpu.ops.segmented import INDEX_DTYPE
+
+    rng = np.random.default_rng(9)
+    bsz = 32
+
+    def build(nb):
+        per_row = 10
+        rows = np.repeat(np.arange(nb, dtype=np.int64), per_row)
+        cols = np.clip(rows + rng.integers(-50, 50, rows.size), 0, nb - 1)
+        order = np.lexsort((cols, rows))
+        rows, cols = rows[order], cols[order]
+        keep = np.ones(rows.size, bool)
+        keep[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+        rows, cols = rows[keep], cols[keep]
+        nbz = rows.size
+        pool = rng.standard_normal((257, bsz, bsz)).astype(np.float32) * 0.01
+        return BSR(
+            indices=jnp.asarray(rows * nb + cols, INDEX_DTYPE),
+            blocks=jnp.asarray(pool[np.arange(nbz) % 257]),
+            n=nb * bsz,
+            bsz=bsz,
+        )
+
+    def step(blocks, plan, a):
+        a2 = BSR(indices=a.indices, blocks=blocks, n=a.n, bsz=a.bsz)
+        c = bsr_smsmm_apply(plan, a2, a2)
+        return blocks * (1.0 + 1e-30 * jnp.sum(c.blocks))
+
+    # the remote tunnel compiler has congestion windows where the larger
+    # instance's compile 500s (docs/performance.md); degrade to the quick
+    # size rather than losing the section
+    for nb in ((2_000,) if quick else (4_000, 2_000)):
+        a = build(nb)
+        t0 = time.perf_counter()
+        plan = bsr_smsmm_prepare(a, a)
+        prep_s = time.perf_counter() - t0
+        flops = 2.0 * plan.n_products * bsz**3
+        try:
+            t = timed_chain(step, a.blocks, plan, a)
+        except Exception as e:
+            if nb == 2_000:
+                raise
+            emit("bsr_spgemm_full_size_error", 0,
+                 f"{type(e).__name__} at nb={nb}; retrying nb=2000")
+            continue
+        break
+    emit("bsr_spgemm_prepare_seconds", prep_s, "s")
+    emit("bsr_spgemm_products", plan.n_products / 1e6, "M blk")
+    emit("bsr_spgemm_apply_gflops", flops / t / 1e9, "GFLOP/s")
+    # HBM traffic of the numeric pass: two gathered block operands + the
+    # product stream into the segment-sum + the output blocks
+    bytes_ = (2 * plan.n_products + plan.nbz_out) * bsz * bsz * 4
+    emit("bsr_spgemm_apply_hbm_bw", bytes_ / t / 1e9, "GB/s",
+         bytes_ / t / 1e9 / MEASURED_CEILING_GBPS)
+
+    # one-shot (symbolic pass on device, sort included)
+    import jax
+
+    f = jax.jit(lambda a: jnp.sum(bsr_smsmm(a, a, expansion_nbz=plan.n_products,
+                                            compact=False).blocks))
+    float(f(a))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(a))
+        best = min(best, time.perf_counter() - t0)
+    emit("bsr_spgemm_oneshot_gflops", flops / best / 1e9, "GFLOP/s")
+
+
 def bench_distributed():
     import jax
 
@@ -549,8 +699,9 @@ if __name__ == "__main__":
     quick = "--quick" in sys.argv
     # sections are independent: a failure (tunnel hiccup, compile error)
     # reports and moves on instead of killing the remaining metrics
-    for section in (bench_csr, bench_csr_segtile, bench_reorder, bench_bell,
-                    bench_bell_accuracy, bench_spgemm, bench_spgemm_prepared,
+    for section in (bench_csr, bench_csr_segtile, bench_reorder,
+                    bench_real_matrices, bench_bell, bench_bell_accuracy,
+                    bench_spgemm, bench_spgemm_prepared, bench_bsr_spgemm,
                     bench_distributed, bench_weak_scaling):
         try:
             if section in (bench_distributed,):

@@ -63,6 +63,7 @@ __all__ = [
     "bsr_nnz",
     "bsr_to_coo",
     "bsr_from_coo",
+    "csr_to_bsr",
     "bsr_compact",
 ]
 
@@ -370,6 +371,26 @@ def bsr_from_coo(a: COO, bsz: int, nbz: int | None = None) -> BSR:
         jnp.where(is_head, group, nbz)
     ].set(h, mode="drop")
     return BSR(indices=idxs, blocks=blocks, n=n, bsz=bsz)
+
+
+def csr_to_bsr(a, bsz: int, nbz: int | None = None,
+               compact: bool = True) -> BSR:
+    """Re-block a scalar CSR matrix into bsz x bsz BSR storage.
+
+    This is the routing bridge onto the TPU-fast block paths: XLA's element
+    gather runs at a flat ~88 M elements/s on the v5e regardless of index
+    locality (docs/performance.md), which caps every scalar-gather sparse
+    kernel; blocked storage moves bsz^2-sized granules per gather and
+    multiplies on the MXU instead.  For a matrix whose entries cluster
+    (FEM / banded / RCM-reordered), block fill stays high and
+    ``bsr_smsmm`` / ``bell_spmm`` run orders of magnitude faster than the
+    scalar CSR SpGEMM — at low fill the bsz^2/fill storage blow-up loses;
+    check ``utils.stats.matrix_stats`` first.  jit-compatible when ``nbz``
+    is given (``compact=False``); eager by default."""
+    from .csr import csr_to_coo
+
+    out = bsr_from_coo(csr_to_coo(a), bsz, nbz=nbz)
+    return bsr_compact(out) if compact else out
 
 
 def bsr_compact(a: BSR) -> BSR:

@@ -15,11 +15,15 @@ Layout (matches the reference's dual ranking scheme, triangular.fut:138-165):
 
 TPU-first departure: the reference computes ``smm`` with a per-output-slot
 ``expand_outer_reduce`` of packed gathers (triangular.fut:104-112).  Gathers
-are the slowest primitive on TPU; instead we densify both operands, run one
-dense matmul on the MXU, and re-pack.  This is *exact* — the product of two
-lower (upper) triangular matrices is lower (upper) triangular — and turns the
-hot loop into systolic-array FLOPs at a 2x memory cost, which is the right
-trade on this hardware.
+are the slowest primitive on TPU, so ``tri_smm`` never does per-element
+gathers.  For n <= 4096 it densifies both operands, runs one dense matmul
+on the MXU, and re-packs (exact: same-orientation triangle products stay
+triangular) — a 2x transient memory cost that is the right trade at sizes
+where the dense square still fits comfortably.  Above that,
+``_tri_smm_blocked`` multiplies (block, block) tiles sliced straight from
+packed storage under a ``fori_loop``, skipping the structurally-zero
+k-range per tile pair, so the packed format's 2x memory edge survives at
+scale and the hot loop is still systolic-array FLOPs.
 
 All values are pytree dataclasses; every op is jit-compatible (shapes are
 static functions of ``n``).

@@ -70,6 +70,11 @@ class HaloPCSR:
     def n_shards(self) -> int:
         return self.indptr.shape[0]
 
+    @property
+    def comm_entries_per_device(self) -> int:
+        """all_to_all payload per device, in operand entries (D * halo)."""
+        return self.indptr.shape[0] * self.halo
+
 
 def halo_partition(a: CSR, mesh: Mesh, axis: str = "shards") -> HaloPCSR:
     """Build the halo plan (eager, once per sparsity pattern + mesh)."""

@@ -299,3 +299,28 @@ def test_bsr_smsmm_plan_matches_and_updates():
     assert pz.n_products == 0 and pz.nbz_out == 0
     cz = bsr_smsmm_apply(pz, z, b)
     np.testing.assert_array_equal(dense(cz), np.zeros((n, n)))
+
+
+def test_csr_to_bsr_roundtrip_and_block_spgemm_routing():
+    """csr_to_bsr re-blocks a scalar CSR exactly, and the blocked SpGEMM on
+    the re-blocked operands matches the scalar product (the TPU routing
+    recipe for clustered patterns — docs/performance.md)."""
+    from sparse_tpu import csr_from_dense, csr_to_bsr, bsr_smsmm, spgemm
+
+    rng = np.random.default_rng(42)
+    n, bsz = 32, 4
+    x = (rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.15)).astype(
+        np.float64
+    )
+    a = csr_from_dense(jnp.asarray(x))
+    ab = csr_to_bsr(a, bsz)
+    np.testing.assert_allclose(np.asarray(ab.todense()), x, rtol=1e-12)
+    # jit-compatible with a static capacity
+    ab2 = jax.jit(
+        lambda a: csr_to_bsr(a, bsz, nbz=a.indices.shape[0], compact=False)
+    )(a)
+    np.testing.assert_allclose(np.asarray(ab2.todense()), x, rtol=1e-12)
+    # block product == scalar product
+    c_blk = np.asarray(bsr_smsmm(ab, ab).todense())
+    c_sca = np.asarray(spgemm(a, a).todense())
+    np.testing.assert_allclose(c_blk, c_sca, rtol=1e-9, atol=1e-9)

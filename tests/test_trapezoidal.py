@@ -221,38 +221,38 @@ def test_trap_smm_blocked_matches_densify():
     from sparse_tpu.formats import trapezoidal as trap_mod
 
     rng = np.random.default_rng(11)
-    # tall and wide cover both clamping regimes; each (n, m, k, orientation)
-    # compiles the blocked fori_loop pipeline afresh (~10 s on this host)
-    for (n, m, k) in [(200, 130, 170), (90, 260, 140)]:
-        for lower in (True, False):
-            xa = np.tril(rng.standard_normal((n, m)))
-            xb = np.tril(rng.standard_normal((m, k)))
-            if not lower:
-                xa, xb = np.triu(rng.standard_normal((n, m))), \
-                    np.triu(rng.standard_normal((m, k)))
-            a = trap_mod.trap_from_dense(jnp.asarray(xa, jnp.float32),
-                                         lower=lower)
-            b = trap_mod.trap_from_dense(jnp.asarray(xb, jnp.float32),
-                                         lower=lower)
-            dense_ref = trap_mod.trap_todense(trap_mod.trap_smm(a, b))
-            if lower:
-                blocked = trap_mod._trap_smm_blocked(
-                    a.data, b.data, n, m, k, jnp.float32, B=64
-                )
-            else:
-                blocked = trap_mod._trap_smm_blocked(
-                    b.data, a.data, k, m, n, jnp.float32, B=64
-                )
-            c_blocked = trap_mod.Trapezoidal(data=blocked, n=n, m=k,
-                                             lower=lower)
-            np.testing.assert_allclose(
-                np.asarray(trap_mod.trap_todense(c_blocked)),
-                np.asarray(dense_ref),
-                rtol=2e-4, atol=2e-4,
+    # one shape per orientation still covers both clamping regimes (tall
+    # lower, wide upper); each extra combo costs a ~10 s fresh compile of
+    # the blocked fori_loop pipeline
+    for (n, m, k), lower in [((200, 130, 170), True), ((90, 260, 140), False)]:
+        xa = np.tril(rng.standard_normal((n, m)))
+        xb = np.tril(rng.standard_normal((m, k)))
+        if not lower:
+            xa, xb = np.triu(rng.standard_normal((n, m))), \
+                np.triu(rng.standard_normal((m, k)))
+        a = trap_mod.trap_from_dense(jnp.asarray(xa, jnp.float32),
+                                     lower=lower)
+        b = trap_mod.trap_from_dense(jnp.asarray(xb, jnp.float32),
+                                     lower=lower)
+        dense_ref = trap_mod.trap_todense(trap_mod.trap_smm(a, b))
+        if lower:
+            blocked = trap_mod._trap_smm_blocked(
+                a.data, b.data, n, m, k, jnp.float32, B=64
             )
-            np.testing.assert_allclose(
-                np.asarray(dense_ref), xa @ xb, rtol=2e-4, atol=2e-4
+        else:
+            blocked = trap_mod._trap_smm_blocked(
+                b.data, a.data, k, m, n, jnp.float32, B=64
             )
+        c_blocked = trap_mod.Trapezoidal(data=blocked, n=n, m=k,
+                                         lower=lower)
+        np.testing.assert_allclose(
+            np.asarray(trap_mod.trap_todense(c_blocked)),
+            np.asarray(dense_ref),
+            rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dense_ref), xa @ xb, rtol=2e-4, atol=2e-4
+        )
 
 
 def test_trap_smm_large_dispatches_blocked(monkeypatch):
