@@ -319,15 +319,11 @@ def bench_bell(quick):
     spmv_bytes = rows.size * (bsz * bsz * 4 + 4 + bsz * 4) + n * 4
     emit("bell_spmv_block_banded_eff_bw", spmv_bytes / t / 1e9, "GB/s")
 
-    # prepared layout (bell_smvm_prepare): the per-call block transpose is
-    # paid once per pattern instead of per SpMV — the iterative-solver idiom
-    from sparse_tpu.formats.bell import bell_smvm_prepare
-
-    kit = bell_smvm_prepare(a)
-    kit.mats.block_until_ready()
-    t = timed_chain(lambda v, kit: bell_smvm(kit, v), v0, kit)
-    emit("bell_spmv_prepared_eff_bw", spmv_bytes / t / 1e9, "GB/s",
-         spmv_bytes / t / 1e9 / MEASURED_CEILING_GBPS)
+    # (the prepare split measured no better than this path — 61.4 vs 63.8
+    # GB/s at bench size, round 3 — and was deleted per the losing-kernel
+    # policy; ~30% of ceiling is the documented structural bound at bsz=32)
+    emit("bell_spmv_roofline_frac", spmv_bytes / t / 1e9 /
+         MEASURED_CEILING_GBPS, "frac")
 
     # k-sweep (BASELINE config 3: SpMM k=32..256), production dispatch:
     # banded-plan kernel on TPU (same path as the headline bench)

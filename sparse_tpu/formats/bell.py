@@ -30,11 +30,9 @@ from ..utils.precision import matmul_precision
 
 __all__ = [
     "BELL",
-    "SmvmKit",
     "bell_from_bsr",
     "bell_from_csr",
     "bell_smvm",
-    "bell_smvm_prepare",
     "bell_spmm",
     "bell_todense",
 ]
@@ -113,62 +111,25 @@ def bell_from_csr(a, bsz: int, Lb: int | None = None) -> BELL:
     return bell_from_bsr(bsr_compact(bsr_from_coo(csr_to_coo(a), bsz)), Lb=Lb)
 
 
-@partial(
-    jax.tree_util.register_dataclass,
-    data_fields=["cols", "mats"],
-    meta_fields=["n", "bsz"],
-)
-@dataclasses.dataclass(frozen=True)
-class SmvmKit:
-    """SpMV-ready BELL layout from :func:`bell_smvm_prepare`.
-
-    ``mats``: [nb, bsz, Lb*bsz] — the blocks transposed ONCE into the exact
-    batched-matvec layout, so the per-call einsum needs no runtime relayout.
-    Measured on v5e the naive ``rlij,rlj->ri`` einsum with the matrix passed
-    as a jit argument spends ~2/3 of its time on XLA's (l, i) block-layout
-    transpose copy (32.6 GB/s effective vs ~96 with the copy folded away);
-    preparing once per pattern recovers the difference for iterative solvers.
-    """
-
-    cols: jax.Array
-    mats: jax.Array
-    n: int
-    bsz: int
-
-    @property
-    def nb(self) -> int:
-        return self.n // self.bsz
-
-    @property
-    def Lb(self) -> int:
-        return self.cols.shape[1]
-
-
-def bell_smvm_prepare(a: BELL) -> SmvmKit:
-    """One-time (per sparsity pattern + values) SpMV layout preparation."""
-    mats = jnp.transpose(a.blocks, (0, 2, 1, 3)).reshape(
-        a.nb, a.bsz, a.Lb * a.bsz
-    )
-    return SmvmKit(cols=a.cols, mats=mats, n=a.n, bsz=a.bsz)
-
-
-def bell_smvm(a: BELL | SmvmKit, v: jax.Array) -> jax.Array:
+def bell_smvm(a: BELL, v: jax.Array) -> jax.Array:
     """Scatter-free, matrix-gather-free SpMV: stream blocks, gather operand
-    chunks, contract on the VPU.  Pass a :class:`SmvmKit` (from
-    :func:`bell_smvm_prepare`) to skip the per-call block-layout transpose."""
+    chunks, contract on the VPU.
+
+    This is the single production BELL SpMV path.  Measured bound on v5e at
+    bsz=32 (honest jit-argument protocol, bench size): ~64 GB/s min-traffic
+    effective — ~30% of the streaming ceiling, structural for this shape:
+    the contraction is block-batched (bsz-wide MXU/VPU issues with k=1) and
+    XLA's layout assignment already overlaps the (l, i) block transpose at
+    this size.  Two alternatives were built, measured, and deleted per the
+    losing-kernel policy (docs/performance.md): a Pallas SpMV kernel
+    (DMA-latency-bound at 37 GB/s — rt*Lb tiny 128 B chunk DMAs/step) and a
+    pre-transposed prepare split (61.4 GB/s — no better than this path).
+    Unstructured SpMV at higher rates goes through the CSR segment-tile
+    kernel (ops/pallas_csr.py); SpMM amortizes the block stream over k
+    columns and reaches 83-94% of ceiling (ops/pallas_bell.py)."""
     v = jnp.asarray(v)
     if v.shape != (a.n,):
         raise ValueError(f"bell_smvm: vector shape {v.shape} != ({a.n},)")
-    if isinstance(a, SmvmKit):
-        out_dtype = jnp.result_type(a.mats.dtype, v.dtype)
-        if a.n == 0 or a.Lb == 0:
-            return jnp.zeros((a.n,), out_dtype)
-        vb = v.reshape(a.nb, a.bsz)[a.cols.reshape(-1)].reshape(
-            a.nb, a.Lb * a.bsz
-        )
-        out = jnp.einsum("rix,rx->ri", a.mats, vb,
-                         precision=matmul_precision(a.mats.dtype, vb.dtype))
-        return out.reshape(a.n).astype(out_dtype)
     out_dtype = jnp.result_type(a.dtype, v.dtype)
     if a.n == 0 or a.Lb == 0:
         return jnp.zeros((a.n,), out_dtype)

@@ -357,6 +357,14 @@ class PTransposePlan:
     axis: str
     rows_per_shard: int
 
+    @property
+    def comm_entries_per_device(self) -> int:
+        """all_to_all payload per device (D pair slots x padded pair width):
+        O(nnz/D) for row partitions whose entries stay near their own column
+        slab (bands), degrading toward O(nnz) under dense coupling — pinned
+        by tests/test_comm_volume.py alongside the halo and SpGEMM plans."""
+        return self.send_pos.shape[1] * self.exch
+
 
 def build_transpose_plan(a: PCSR, mesh: Mesh) -> PTransposePlan:
     """Host-side symbolic pass for the device transpose (once per pattern)."""

@@ -75,17 +75,14 @@ def test_bell_from_csr_reblock():
 
 
 @pytest.mark.parametrize("n,bsz,density", [(32, 4, 0.4), (64, 8, 0.2)])
-def test_bell_smvm_prepared_matches(n, bsz, density):
-    from sparse_tpu.formats.bell import SmvmKit, bell_smvm_prepare
-
+def test_bell_smvm_jit_argument(n, bsz, density):
+    """bell_smvm is the single production BELL SpMV path (the prepare split
+    measured no better on-chip and was deleted, docs/performance.md); the
+    BELL itself is a pytree usable as a jit argument."""
     a, xa = random_bsr(n, bsz, density, seed=7 * n)
     e = bell_from_bsr(a)
-    kit = bell_smvm_prepare(e)
-    assert isinstance(kit, SmvmKit)
     v = jnp.asarray(np.random.default_rng(3).standard_normal(n))
     ref = np.asarray(bell_smvm(e, v))
-    np.testing.assert_allclose(np.asarray(bell_smvm(kit, v)), ref, rtol=1e-12)
-    # kit is a pytree: jit with it as an argument
-    got = jax.jit(bell_smvm)(kit, v)
+    got = jax.jit(bell_smvm)(e, v)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-12)
     np.testing.assert_allclose(ref, xa @ np.asarray(v), rtol=1e-10, atol=1e-12)

@@ -22,7 +22,10 @@ from sparse_tpu.parallel import (
     make_1d_mesh,
     pcsr_from_csr,
 )
-from sparse_tpu.parallel.pspgemm import build_pspgemm_plan
+from sparse_tpu.parallel.pspgemm import (
+    build_pspgemm_plan,
+    build_transpose_plan,
+)
 
 D = 8
 pytestmark = pytest.mark.skipif(
@@ -114,3 +117,35 @@ def test_pspgemm_comm_is_o_needed_rows_not_o_nnz_b():
     pland = build_pspgemm_plan(pad, pad, make_1d_mesh(D))
     nnz_bd = int(np.asarray(ad.indptr)[-1])
     assert pland.comm_entries_per_device > nnz_bd // 4
+
+
+def test_ptranspose_comm_is_o_nnz_over_d_not_o_nnz():
+    """The device transpose ships each entry's VALUE to the shard owning its
+    column — on a band, a row slab's columns stay within w of the slab, so
+    only ~2w boundary rows' entries cross shards: the padded payload must sit
+    far below replicating A (the host-rebuild / all-gather baseline of nnz
+    entries per device).  Ref: SURVEY.md §2.3-3."""
+    n, w, per_row = 1024, 4, 8
+    a = _banded(n, w, seed=5, per_row=per_row)
+    mesh = make_1d_mesh(D)
+    pa = pcsr_from_csr(a, mesh)
+    plan = build_transpose_plan(pa, mesh)
+    nnz = int(np.asarray(a.indptr)[-1])
+    # per-pair width: only rows within w of a slab boundary can own entries
+    # whose column lands on the neighbouring shard
+    assert plan.exch <= (2 * w + 2) * per_row
+    assert plan.comm_entries_per_device < nnz // 4
+
+    # dense coupling: every entry crosses with probability (D-1)/D, so the
+    # payload approaches the per-shard storage ceiling nnz/D x D pair slots
+    # (each entry ships exactly once — the transpose baseline is replicating
+    # A at nnz per device, which even dense coupling beats by ~D)
+    ad = _dense_coupled(512, seed=6)
+    pad = pcsr_from_csr(ad, make_1d_mesh(D))
+    pland = build_transpose_plan(pad, make_1d_mesh(D))
+    nnz_d = int(np.asarray(ad.indptr)[-1])
+    assert pland.comm_entries_per_device > nnz_d // 10  # ~nnz/D, padded
+    # and the banded plan is far cheaper relative to its nnz
+    banded_frac = plan.comm_entries_per_device / nnz
+    dense_frac = pland.comm_entries_per_device / nnz_d
+    assert banded_frac * 4 < dense_frac

@@ -73,7 +73,9 @@ def test_halo_overlapped_matches_oracle(mesh):
         halo_spmv_overlapped,
     )
 
-    for n, bw, seed in [(64, 3, 0), (100, 5, 1), (17, 2, 2)]:
+    # two shapes (one even, one odd/ragged): each distinct n compiles the
+    # whole overlapped shard_map pipeline (~8 s on this host)
+    for n, bw, seed in [(100, 5, 1), (17, 2, 2)]:
         x = banded(n, bw, seed=seed)
         a = csr_from_dense(jnp.asarray(x))
         ha = halo_partition_overlapped(a, mesh)

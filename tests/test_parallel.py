@@ -321,7 +321,8 @@ def test_pcsr_transpose_device_matches(mesh):
     )
 
     rng = np.random.default_rng(54)
-    for n, m in [(40, 32), (17, 53), (8, 8)]:
+    # two shapes (ragged + tiny-square): each is a fresh shard_map compile
+    for n, m in [(17, 53), (8, 8)]:
         x = rng.standard_normal((n, m)) * (rng.random((n, m)) < 0.25)
         pa = pcsr_from_csr(csr_from_dense(jnp.asarray(x)), mesh)
         plan = build_transpose_plan(pa, mesh)
