@@ -62,6 +62,7 @@ __all__ = [
     "bsr_smsmm_apply",
     "bsr_nnz",
     "bsr_to_coo",
+    "bsr_to_csr",
     "bsr_from_coo",
     "csr_to_bsr",
     "bsr_compact",
@@ -332,6 +333,31 @@ def bsr_to_coo(a: BSR) -> COO:
     cols = jnp.where(keep, cols, n).reshape(-1)
     data = jnp.where(keep, a.blocks, 0).reshape(-1)
     return coo_normalize(COO(row=rows, col=cols, data=data, shape=(n, n)))
+
+
+def bsr_to_csr(a: BSR):
+    """Scalar CSR storing EVERY position of every stored block — explicit
+    zeros inside blocks stay stored (unlike :func:`bsr_to_coo`, which
+    mirrors the reference's filtering ``coo``).
+
+    This is the return bridge of the block-routed SpGEMM dispatch
+    (ops/spgemm.py): when both operands have fully-dense stored blocks, the
+    block product's stored structure at scalar granularity is exactly the
+    reference's ``smsmm`` stored structure (every position of a stored C
+    block is a realized product pair), so no filtering may happen here.
+    jit-compatible; capacity = nbz * bsz^2."""
+    from .csr import csr_from_coo
+
+    nb, bsz, n = a.nb, a.bsz, a.n
+    valid, r, c = _rc(a)
+    i_loc = jnp.arange(bsz, dtype=INDEX_DTYPE)
+    rows = (r[:, None, None] * bsz + i_loc[None, :, None]).astype(INDEX_DTYPE)
+    cols = (c[:, None, None] * bsz + i_loc[None, None, :]).astype(INDEX_DTYPE)
+    keep = jnp.broadcast_to(valid[:, None, None], a.blocks.shape)
+    rows = jnp.where(keep, jnp.broadcast_to(rows, a.blocks.shape), n).reshape(-1)
+    cols = jnp.where(keep, jnp.broadcast_to(cols, a.blocks.shape), n).reshape(-1)
+    data = jnp.where(keep, a.blocks, 0).reshape(-1)
+    return csr_from_coo(COO(row=rows, col=cols, data=data, shape=(n, n)))
 
 
 def bsr_from_coo(a: COO, bsz: int, nbz: int | None = None) -> BSR:

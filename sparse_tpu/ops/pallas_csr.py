@@ -418,20 +418,49 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
 _MAX_RESIDENT = 2_000_000
 _MIN_FILL = 0.007
 
+# BELL block-SpMV route: only at block sizes whose operand-gather granule
+# (bsz * 4 B) clearly beats the ~88 M gathers/s scalar wall, and whose block
+# fill keeps the bsz^2/fill storage blow-up small.  bell_smvm streams blocks
+# at ~64 GB/s (bsz=32), so predicted nnz/s ~ 16 G * fill — >> the 0.14 G
+# scalar ceiling whenever this routing fires (docs/performance.md).
+_BLOCK_SPMV_MIN_BSZ = 8
+_BLOCK_SPMV_MIN_FILL = 0.5
+
+
+def _smvm_block_bsz(a: CSR) -> int:
+    """Detected BELL-route block size for SpMV, or 0 (host-side, eager)."""
+    from ..utils.stats import detect_block_size
+
+    bsz, _ = detect_block_size(
+        a, candidates=(32, 16, 8), min_fill=_BLOCK_SPMV_MIN_FILL
+    )
+    return bsz if bsz >= _BLOCK_SPMV_MIN_BSZ else 0
+
 
 def csr_smvm_auto(a: CSR, v: jax.Array,
                   plan: SegTilePlan | None = None,
                   wsub: int = 8) -> jax.Array:
-    """Unstructured SpMV dispatch: the Pallas segment-tile kernel on TPU
-    (operand + output fit VMEM, fill high enough; plan built eagerly when
-    not supplied, with window height ``wsub``), otherwise the XLA row-binned
-    ELL path."""
+    """Unstructured SpMV dispatch, in measured-preference order on TPU:
+
+    1. the Pallas segment-tile kernel (operand + output fit VMEM, tile fill
+       high enough — column-clustered patterns; plan built eagerly when not
+       supplied, with window height ``wsub``);
+    2. the BELL block path (``bell_from_csr`` -> ``bell_smvm``) when the
+       pattern has dense natural blocks at bsz >= 8 but no column locality
+       the segment tiler can use (e.g. scattered block positions) — blocked
+       storage beats the ~88 M gathers/s scalar wall by moving bsz-wide
+       granules (docs/performance.md);
+    3. the XLA row-binned ELL path (everything else, incl. inside jit
+       without a plan — routes 1-2 need eager host-side pattern analysis).
+
+    Hot paths should do the analysis once per pattern themselves
+    (``build_seg_tiles`` / ``bell_from_csr``) and call the specific kernel.
+    """
     from .spmv import csr_smvm_fast
 
-    if (
-        jax.default_backend() == "tpu"
-        and a.shape[0] + a.shape[1] <= _MAX_RESIDENT
-    ):
+    on_tpu = jax.default_backend() == "tpu"
+    eager = True
+    if on_tpu and a.shape[0] + a.shape[1] <= _MAX_RESIDENT:
         if plan is None:
             try:
                 nse = a.data.shape[0]
@@ -449,6 +478,24 @@ def csr_smvm_auto(a: CSR, v: jax.Array,
                 plan = build_seg_tiles(a, wsub=wsub)
             except jax.errors.TracerArrayConversionError:
                 plan = None  # inside jit without a plan: use the XLA path
+                eager = False
         if plan is not None and plan.fill >= _MIN_FILL:
             return csr_smvm_segtile(a, v, plan)
+    if on_tpu and eager:
+        try:
+            bsz = _smvm_block_bsz(a)
+        except jax.errors.TracerArrayConversionError:
+            bsz = 0
+        if bsz:
+            import warnings
+
+            from ..formats.bell import bell_from_csr, bell_smvm
+
+            warnings.warn(
+                f"csr_smvm_auto: dense {bsz}x{bsz} block structure detected"
+                " — re-blocking to BELL per call; convert once with "
+                f"bell_from_csr(a, {bsz}) and call bell_smvm on hot paths",
+                stacklevel=2,
+            )
+            return bell_smvm(bell_from_csr(a, bsz), v)
     return csr_smvm_fast(a, v)

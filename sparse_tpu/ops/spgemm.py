@@ -24,6 +24,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..formats.coo import COO
 from ..formats.csr import (
@@ -222,15 +223,75 @@ def spgemm_mxu_csr_csr(a: CSR, b: CSR, out_nse: int) -> CSR:
     return _csr_from_dense_mask(cv.astype(out_dtype), _pattern_mask(a, b), out_nse)
 
 
-def _mxu_eligible(a: CSR, b: CSR) -> bool:
+def _mxu_eligible(a: CSR, b: CSR, budget: int = _MXU_DENSE_ELEMS) -> bool:
     n, m = a.shape
     _, k = b.shape
     dense_elems = n * m + m * k + n * k
     return (
         jnp.issubdtype(jnp.result_type(a.dtype, b.dtype), jnp.inexact)
-        and dense_elems <= _MXU_DENSE_ELEMS
+        and dense_elems <= budget
         and max(n * m, m * k, n * k) < 2**31  # int32 flat indices
     )
+
+
+_BLOCK_ROUTE_CANDIDATES = (8, 4, 2)
+_BLOCK_ROUTE_MIN_NNZ = 4096
+"""Below this stored-entry count the ESC core's sort is already sub-ms; the
+two re-blocking sorts + block product would only add latency."""
+
+
+def _spgemm_route(a: CSR, b_rows: CSR,
+                  mxu_budget: int | None = None) -> tuple[str, int]:
+    """Pick the SpGEMM core for ``method="auto"``: ``("mxu"|"block"|"esc",
+    bsz)`` (bsz only meaningful for the block route).
+
+    Measured basis (docs/performance.md "Block SpGEMM", v5e): every
+    scalar-gather formulation is pinned at ~0.02-0.08 GFLOP/s by the ~88 M
+    gathers/s op wall, while ``bsr_smsmm_apply`` moves 4 KB blocks per
+    gather and runs 71 GFLOP/s (~900x).  The MXU dense-accumulator core
+    stays preferred while its dense footprint fits — below that size its
+    sort-free compaction beats both.  The block route is taken only when
+    BOTH stored patterns have *fully dense* natural blocks
+    (``csr_block_fill == 1.0``): then re-blocking costs zero storage
+    blow-up and the block product's stored structure at scalar granularity
+    is exactly the reference's ``smsmm`` structure (compressed.fut:268-331)
+    — every scalar position of a stored C block is a realized product pair.
+    Matrices without that structure (uniform random) keep the scalar cores.
+    """
+    n, m = a.shape
+    _, k = b_rows.shape
+    if _mxu_eligible(a, b_rows,
+                     _MXU_DENSE_ELEMS if mxu_budget is None else mxu_budget):
+        return "mxu", 0
+    if n == m == k and n > 0:
+        nnz_a = int(np.asarray(a.indptr)[-1])
+        nnz_b = int(np.asarray(b_rows.indptr)[-1])
+        if min(nnz_a, nnz_b) >= _BLOCK_ROUTE_MIN_NNZ:
+            from ..utils.stats import csr_block_fill
+
+            for bsz in _BLOCK_ROUTE_CANDIDATES:
+                if n % bsz:
+                    continue
+                if (csr_block_fill(a, bsz) == 1.0
+                        and csr_block_fill(b_rows, bsz) == 1.0):
+                    return "block", bsz
+    return "esc", 0
+
+
+def _spgemm_block(a: CSR, b_rows: CSR, bsz: int, compact: bool) -> CSR:
+    """Block-routed SpGEMM: re-block both operands, multiply on the MXU
+    block path, return to scalar CSR keeping every stored block position
+    (exact reference structure under the full-fill routing precondition)."""
+    from ..formats.bsr import bsr_smsmm, bsr_to_csr, csr_to_bsr
+
+    ab = csr_to_bsr(a, bsz, compact=True)
+    bb = csr_to_bsr(b_rows, bsz, compact=True)
+    out = bsr_to_csr(bsr_smsmm(ab, bb, compact=True))
+    if compact:
+        from ..formats.csr import csr_compact
+
+        out = csr_compact(out)
+    return out
 
 
 @partial(jax.jit, static_argnames=("expansion_nse",))
@@ -429,6 +490,7 @@ def spgemm(
     expansion_nse: int | None = None,
     compact: bool = True,
     method: str = "auto",
+    block_bsz: int | None = None,
 ) -> CSR:
     """C = A @ B for sparse A (CSR) and sparse B (CSC or CSR).
 
@@ -439,21 +501,50 @@ def spgemm(
     ``expansion_nse``).  ``compact`` (eager only) trims the result capacity
     to the exact stored-entry count.
 
-    ``method``: ``"auto"`` (default) picks the sort-free MXU dense-accumulator
-    core for float matrices whose dense footprint fits the budget
-    (``_MXU_DENSE_ELEMS``), else the ESC expand-sort-compress core;
-    ``"mxu"`` / ``"esc"`` force a core.  Both produce identical stored
-    structure; values agree up to float summation order.
+    ``method``: ``"auto"`` (default) picks per :func:`_spgemm_route` — the
+    sort-free MXU dense-accumulator core for float matrices whose dense
+    footprint fits the budget (``_MXU_DENSE_ELEMS``); the **block route**
+    (``csr_to_bsr`` -> ``bsr_smsmm`` -> ``bsr_to_csr``, the measured ~900x
+    path, docs/performance.md) when both stored patterns have fully dense
+    natural bsz x bsz blocks at a detected bsz in 2/4/8; else the ESC
+    expand-sort-compress core.  ``"mxu"`` / ``"esc"`` / ``"block"`` force a
+    core (``"block"`` detects bsz, or pass ``block_bsz``; it requires
+    square operands and, for exact reference structure, full block fill —
+    at partial fill its result stores every position of each touched
+    block).  All routes produce the reference's stored structure under
+    their stated preconditions; values agree up to float summation order.
     """
     b_rows = _csc_to_csr(b) if isinstance(b, CSC) else b
     if not isinstance(b_rows, CSR):
         raise TypeError(f"spgemm: expected CSR/CSC operand, got {type(b)}")
-    if method not in ("auto", "mxu", "esc"):
+    if method not in ("auto", "mxu", "esc", "block"):
         raise ValueError(f"spgemm: unknown method {method!r}")
     if expansion_nse is not None:
         return spgemm_csr_csr(a, b_rows, expansion_nse)
-    use_mxu = method == "mxu" or (method == "auto" and _mxu_eligible(a, b_rows))
-    if use_mxu:
+    if method == "auto":
+        method, bsz = _spgemm_route(a, b_rows)
+    elif method == "block":
+        n, m = a.shape
+        _, k = b_rows.shape
+        if not (n == m == k):
+            raise ValueError(
+                f"spgemm(method='block'): operands must be square, got "
+                f"{a.shape} @ {b_rows.shape}"
+            )
+        if block_bsz is not None:
+            bsz = block_bsz
+        else:
+            from ..utils.stats import detect_block_size
+
+            bsz, _ = detect_block_size(a, _BLOCK_ROUTE_CANDIDATES)
+            if bsz < 2:
+                raise ValueError(
+                    "spgemm(method='block'): no dense natural block size "
+                    "detected; pass block_bsz= explicitly"
+                )
+    if method == "block":
+        return _spgemm_block(a, b_rows, bsz, compact)
+    if method == "mxu":
         nse = int(spgemm_mxu_nse(a, b_rows))  # host sync (symbolic pass)
         return spgemm_mxu_csr_csr(a, b_rows, nse)
     f = int(spgemm_flops(a, b_rows))  # host sync (symbolic pass)

@@ -14,7 +14,7 @@ import numpy as np
 from ..formats.csr import CSR
 
 __all__ = ["matrix_stats", "spmv_bytes", "roofline_report",
-           "bell_stats", "BellStats"]
+           "bell_stats", "BellStats", "csr_block_fill", "detect_block_size"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +77,55 @@ def roofline_report(a: CSR, seconds: float, k: int = 1,
     if hbm_gbps:
         out["roofline_fraction"] = gbps / hbm_gbps
     return out
+
+
+def csr_block_fill(a: CSR, bsz: int) -> float:
+    """Stored-entry density of the bsz x bsz blocks a CSR pattern touches
+    (host-side, one O(nnz log nnz) pass): nnz / (touched_blocks * bsz^2).
+
+    1.0 means every touched block is fully stored — re-blocking to BSR/BELL
+    at this bsz costs ZERO storage blow-up and (for SpGEMM) preserves the
+    reference's exact stored-structure semantics; low values mean the
+    bsz^2/fill blow-up would eat the block paths' granule win
+    (docs/performance.md "Block SpGEMM").  Operates on the stored pattern
+    (explicit zeros count as stored, matching compressed.fut:162-164's
+    storage notion)."""
+    n, m = a.shape
+    if bsz <= 0 or n % bsz or m % bsz:
+        return 0.0
+    indptr = np.asarray(a.indptr)
+    nnz = int(indptr[-1])
+    if nnz == 0:
+        return 0.0
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    cols = np.asarray(a.indices)[:nnz].astype(np.int64)
+    nbc = m // bsz
+    key = (rows // bsz) * nbc + (cols // bsz)
+    # distinct stored positions are guaranteed by CSR normalization, so the
+    # distinct-block count is exact
+    from ..native.plansort import argsort_u64
+
+    ks = key[argsort_u64(key.astype(np.uint64))]
+    blocks = 1 + int(np.count_nonzero(ks[1:] != ks[:-1]))
+    return nnz / (blocks * bsz * bsz)
+
+
+def detect_block_size(a: CSR, candidates=(8, 4, 2),
+                      min_fill: float = 1.0) -> tuple[int, float]:
+    """Largest candidate block size whose block fill reaches ``min_fill``,
+    as ``(bsz, fill)``; ``(1, 1.0)`` when none qualifies (scalar storage).
+
+    With the default ``min_fill=1.0`` this finds *natural* block structure
+    (vector-valued FEM: 2x2/3x3 dofs per mesh node) where re-blocking is
+    free and exact; the dispatchers use it to route clustered matrices onto
+    the measured ~900x block SpGEMM / MXU paths automatically."""
+    for bsz in sorted(set(candidates), reverse=True):
+        if bsz < 2:
+            continue
+        f = csr_block_fill(a, bsz)
+        if f >= min_fill:
+            return bsz, f
+    return 1, 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -324,3 +324,27 @@ def test_csr_to_bsr_roundtrip_and_block_spgemm_routing():
     c_blk = np.asarray(bsr_smsmm(ab, ab).todense())
     c_sca = np.asarray(spgemm(a, a).todense())
     np.testing.assert_allclose(c_blk, c_sca, rtol=1e-9, atol=1e-9)
+
+
+def test_bsr_to_csr_keeps_stored_zeros():
+    """bsr_to_csr stores EVERY position of every stored block (the block-
+    routed SpGEMM's return bridge), unlike the reference-filtering
+    bsr_to_coo (blocked_square_regular.fut:605-614)."""
+    from sparse_tpu import bsr_make, bsr_to_coo, bsr_to_csr, csr_nnz
+
+    blk = np.array([[1.0, 0.0], [0.0, 2.0]])
+    a = bsr_make(6, 2, [(0, 1, blk), (2, 0, blk)])
+    c = bsr_to_csr(a)
+    # capacity holds all 8 positions; nnz counts only the 4 nonzeros
+    indptr = np.asarray(c.indptr)
+    assert int(indptr[-1]) == 8
+    assert int(csr_nnz(c)) == 4
+    np.testing.assert_allclose(np.asarray(c.todense()),
+                               np.asarray(a.todense()), rtol=1e-12)
+    # the filtering conversion stores only the 4 nonzeros
+    coo = bsr_to_coo(a)
+    assert int(np.sum(np.asarray(coo.row) < 6)) == 4
+    # jit-compatible
+    c2 = jax.jit(bsr_to_csr)(a)
+    np.testing.assert_allclose(np.asarray(c2.todense()),
+                               np.asarray(a.todense()), rtol=1e-12)

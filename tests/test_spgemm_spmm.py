@@ -299,3 +299,96 @@ def test_spgemm_plan_native_matches_numpy_path():
             np.testing.assert_array_equal(
                 np.asarray(getattr(p_native, f)), np.asarray(getattr(p_np, f))
             )
+
+
+# -- block-routed SpGEMM dispatch (docs/performance.md "Block SpGEMM") --------
+
+
+def _block_dense(n, bsz, block_density, seed):
+    """Matrix of fully dense bsz x bsz blocks at sparse block positions."""
+    rng = np.random.default_rng(seed)
+    nb = n // bsz
+    mask = np.kron(
+        (rng.random((nb, nb)) < block_density) | np.eye(nb, dtype=bool),
+        np.ones((bsz, bsz), bool),
+    )
+    x = rng.standard_normal((n, n)) * mask
+    # make every masked position stored AND nonzero so fill is exactly 1.0
+    x = np.where(mask & (x == 0), 1.0, x)
+    return x
+
+
+def test_spgemm_route_picks_block_for_dense_blocks():
+    """auto routing: MXU while the dense footprint fits; the block path for
+    big clustered (fully-dense-block) patterns; ESC for uniform random."""
+    from sparse_tpu.ops.spgemm import _spgemm_route
+    from sparse_tpu.utils.stats import csr_block_fill, detect_block_size
+
+    n, bsz = 64, 2
+    x = _block_dense(n, bsz, 0.3, seed=0)
+    a = st.csr_from_dense(jnp.asarray(x))
+    assert csr_block_fill(a, 2) == 1.0
+    assert detect_block_size(a)[0] == 2
+    # small: MXU wins regardless of structure
+    assert _spgemm_route(a, a)[0] == "mxu"
+    # shrink the MXU budget to emulate a matrix too big to densify, and the
+    # routing floor to emulate production nnz
+    import sparse_tpu.ops.spgemm as sg
+
+    old = sg._BLOCK_ROUTE_MIN_NNZ
+    sg._BLOCK_ROUTE_MIN_NNZ = 1
+    try:
+        route, got_bsz = _spgemm_route(a, a, mxu_budget=10)
+        assert route == "block" and got_bsz == bsz
+        # uniform random: no dense blocks -> scalar ESC core
+        rng = np.random.default_rng(1)
+        u = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.1)
+        au = st.csr_from_dense(jnp.asarray(u))
+        assert _spgemm_route(au, au, mxu_budget=10)[0] == "esc"
+        # mixed: blocked A with unblocked B -> ESC (both must be blocked)
+        assert _spgemm_route(a, au, mxu_budget=10)[0] == "esc"
+    finally:
+        sg._BLOCK_ROUTE_MIN_NNZ = old
+
+
+def test_spgemm_block_method_matches_esc():
+    """The block route produces the ESC core's exact stored structure and
+    values (up to float summation order) under its full-fill precondition
+    (reference semantics: compressed.fut:268-331)."""
+    n, bsz = 48, 4
+    x = _block_dense(n, bsz, 0.25, seed=3)
+    y = _block_dense(n, bsz, 0.25, seed=4)
+    a = st.csr_from_dense(jnp.asarray(x))
+    b = st.csr_from_dense(jnp.asarray(y))
+    c_esc = spgemm(a, b, method="esc")
+    c_blk = spgemm(a, b, method="block")
+    np.testing.assert_array_equal(np.asarray(c_blk.indptr),
+                                  np.asarray(c_esc.indptr))
+    np.testing.assert_array_equal(np.asarray(c_blk.indices),
+                                  np.asarray(c_esc.indices))
+    np.testing.assert_allclose(np.asarray(c_blk.data),
+                               np.asarray(c_esc.data), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(dense(c_blk), x @ y, rtol=1e-9, atol=1e-9)
+    # explicit bsz override and rejection of non-square operands
+    c_blk2 = spgemm(a, b, method="block", block_bsz=2)
+    np.testing.assert_allclose(dense(c_blk2), x @ y, rtol=1e-9, atol=1e-9)
+    with pytest.raises(ValueError, match="square"):
+        rect = st.csr_from_dense(jnp.asarray(x[: n - 4]))
+        spgemm(rect, b, method="block")
+
+
+def test_smvm_block_route_detection():
+    """csr_smvm_auto's BELL-route detector: dense big blocks qualify,
+    uniform random and small blocks do not."""
+    from sparse_tpu.ops.pallas_csr import _smvm_block_bsz
+
+    n, bsz = 128, 8
+    x = _block_dense(n, bsz, 0.2, seed=7)
+    a = st.csr_from_dense(jnp.asarray(x))
+    assert _smvm_block_bsz(a) == 8
+    rng = np.random.default_rng(8)
+    u = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.05)
+    assert _smvm_block_bsz(st.csr_from_dense(jnp.asarray(u))) == 0
+    # dense 2x2 blocks are below the granule floor -> scalar paths keep it
+    x2 = _block_dense(n, 2, 0.05, seed=9)
+    assert _smvm_block_bsz(st.csr_from_dense(jnp.asarray(x2))) == 0
