@@ -2,7 +2,8 @@
 
 Matrix: bcsstk-shaped scalar band (no block structure exposed to the
 kernel), n=500k, ~10M nnz, plus a uniformly random variant.  Chained
-protocol.  Usage: python measure_segtile.py seg|xla [band|rand]
+protocol.  Usage: python measure_segtile.py seg|xla [band|rand] [rows] [wsub]
+(rows in {8, 32}, wsub in {8, 16, 32, auto} — segment-tile variants).
 """
 from __future__ import annotations
 
@@ -52,11 +53,20 @@ def main():
     v = jnp.asarray(np.random.default_rng(1).standard_normal(N).astype(np.float32))
 
     if which == "seg":
+        rows = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        wsub = sys.argv[4] if len(sys.argv) > 4 else 8
+        if wsub != "auto":
+            wsub = int(wsub)
         t0 = time.perf_counter()
-        plan = build_seg_tiles(a)
-        print(f"plan: {plan.n_tiles} tiles fill={plan.fill:.3f} "
-              f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
-        op = lambda a, x, p: csr_smvm_segtile(a, x, p)
+        plan = build_seg_tiles(a, wsub=wsub, rows=rows)
+        print(f"plan: rows={plan.rows} wsub={plan.wsub} {plan.n_tiles} tiles "
+              f"fill={plan.fill:.4f} ({time.perf_counter()-t0:.1f}s) "
+              f"traffic={plan.n_tiles*plan.rows*128*5/1e9:.3f} GB",
+              file=sys.stderr)
+        red = sys.argv[5] if len(sys.argv) > 5 else "vpu"
+        bat = int(sys.argv[6]) if len(sys.argv) > 6 else 64
+        print(f"reduce={red} batch={bat}", file=sys.stderr)
+        op = lambda a, x, p: csr_smvm_segtile(a, x, p, reduce=red, batch=bat)
         extra = (plan,)
     else:
         plan = build_spmv_plan(a)

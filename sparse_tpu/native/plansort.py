@@ -15,7 +15,7 @@ from pathlib import Path
 import numpy as np
 
 __all__ = ["argsort_u64", "counting_argsort", "seg_tile_layout",
-           "spgemm_schedule", "rcm_order"]
+           "seg_tile_layout_ff", "spgemm_schedule", "rcm_order"]
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "_plansort.cpp"
@@ -43,6 +43,8 @@ def _load():
             lib.radix_argsort_u64.restype = ctypes.c_int64
             lib.counting_argsort_i64.restype = ctypes.c_int64
             lib.seg_tile_layout.restype = ctypes.c_int64
+            lib.seg_tile_layout_r.restype = ctypes.c_int64
+            lib.seg_tile_layout_ff.restype = ctypes.c_int64
             lib.spgemm_schedule.restype = ctypes.c_int64
             lib.rcm_order.restype = ctypes.c_int64
             _lib = lib
@@ -98,12 +100,15 @@ def counting_argsort(keys: np.ndarray, nbuckets: int) -> np.ndarray:
     return np.argsort(keys, kind="stable")
 
 
-def seg_tile_layout(indptr: np.ndarray, cols: np.ndarray, wsub: int):
+def seg_tile_layout(indptr: np.ndarray, cols: np.ndarray, wsub: int,
+                    rows: int = 8):
     """Native segment-tile layout sweep (ops/pallas_csr.build_seg_tiles's
     symbolic pass): returns ``(pos, sub, seg_of, t_rb)`` — per-entry slot
     positions/sublane pointers (in STORAGE order) and per-tile window base /
     row block — or None when the native library is unavailable.  One O(nnz)
-    pass; bit-identical tile numbering to the NumPy path."""
+    pass; bit-identical tile numbering to the NumPy path.  ``rows`` is the
+    row-block height (8 for the original kernel, 32 for the super-block
+    kernel; power of two)."""
     lib = _load()
     if lib is None:
         return None
@@ -115,11 +120,12 @@ def seg_tile_layout(indptr: np.ndarray, cols: np.ndarray, wsub: int):
     sub = np.empty(nnz, np.int8)
     seg_of = np.empty(max(nnz, 1), np.int64)
     t_rb = np.empty(max(nnz, 1), np.int64)
-    nt = lib.seg_tile_layout(
+    nt = lib.seg_tile_layout_r(
         ctypes.c_void_p(indptr.ctypes.data),
         ctypes.c_int64(n),
         ctypes.c_void_p(cols.ctypes.data),
         ctypes.c_int64(wsub),
+        ctypes.c_int64(rows),
         ctypes.c_void_p(pos.ctypes.data),
         ctypes.c_void_p(sub.ctypes.data),
         ctypes.c_void_p(seg_of.ctypes.data),
@@ -128,6 +134,98 @@ def seg_tile_layout(indptr: np.ndarray, cols: np.ndarray, wsub: int):
     if nt < 0:
         return None
     return pos, sub, seg_of[:nt], t_rb[:nt]
+
+
+def seg_tile_layout_ff(indptr: np.ndarray, cols: np.ndarray, wsub: int,
+                       rows: int = 8):
+    """Native FIRST-FIT segment-tile layout (see _plansort.cpp): greedy
+    per-block packing that merges straddle windows and pools spills —
+    measured ~25% fewer tiles than the rigid layout on the bench band.
+    Returns ``(pos, sub, seg_of, t_rb)`` like :func:`seg_tile_layout`
+    (within-tile entry order is column-major — callers re-sort by full slot
+    position), or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    n = indptr.size - 1
+    nnz = int(indptr[-1])
+    pos = np.empty(nnz, np.int64)
+    sub = np.empty(nnz, np.int8)
+    seg_of = np.empty(max(nnz, 1), np.int64)
+    t_rb = np.empty(max(nnz, 1), np.int64)
+    nt = lib.seg_tile_layout_ff(
+        ctypes.c_void_p(indptr.ctypes.data),
+        ctypes.c_int64(n),
+        ctypes.c_void_p(cols.ctypes.data),
+        ctypes.c_int64(wsub),
+        ctypes.c_int64(rows),
+        ctypes.c_void_p(pos.ctypes.data),
+        ctypes.c_void_p(sub.ctypes.data),
+        ctypes.c_void_p(seg_of.ctypes.data),
+        ctypes.c_void_p(t_rb.ctypes.data),
+    )
+    if nt < 0:
+        return None
+    return pos, sub, seg_of[:nt], t_rb[:nt]
+
+
+def seg_tile_layout_ff_py(indptr: np.ndarray, cols: np.ndarray, wsub: int,
+                          rows: int = 8):
+    """Pure-Python reference of :func:`seg_tile_layout_ff` (bit-identical;
+    pinned by tests).  O(nnz) Python loop — the degraded fallback when the
+    native library is unavailable; fine for test sizes, slow at millions of
+    entries."""
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    n = indptr.size - 1
+    R = rows
+    slots = R * 128
+    nnz = int(indptr[-1])
+    pos = np.empty(nnz, np.int64)
+    sub = np.empty(nnz, np.int8)
+    seg_list: list[int] = []
+    rb_list: list[int] = []
+    n_tiles = 0
+    for rb in range(-(-n // R) if n else 0):
+        r0, r1 = rb * R, min(rb * R + R, n)
+        if indptr[r0] >= indptr[r1]:
+            continue
+        ents = []
+        for r in range(r0, r1):
+            ri = r & (R - 1)
+            for p in range(int(indptr[r]), int(indptr[r + 1])):
+                ents.append(((int(cols[p]) << 8) | ri, p))
+        ents.sort()
+        bases: list[int] = []
+        ids: list[int] = []
+        bits: list[int] = []
+        for key, p in ents:
+            c, ri = key >> 8, key & 0xFF
+            q, lane = c >> 7, c & 127
+            slot = ri * 128 + lane
+            chosen = -1
+            for ti in range(len(bases)):
+                if q - bases[ti] >= wsub:
+                    continue
+                if (bits[ti] >> slot) & 1:
+                    continue
+                chosen = ti
+                break
+            if chosen < 0:
+                chosen = len(bases)
+                bases.append(q)
+                ids.append(n_tiles)
+                bits.append(0)
+                seg_list.append(q)
+                rb_list.append(rb)
+                n_tiles += 1
+            bits[chosen] |= 1 << slot
+            pos[p] = ids[chosen] * slots + slot
+            sub[p] = q - bases[chosen]
+    return (pos, sub, np.asarray(seg_list, np.int64),
+            np.asarray(rb_list, np.int64))
 
 
 def rcm_order(indptr: np.ndarray, cols: np.ndarray) -> np.ndarray | None:

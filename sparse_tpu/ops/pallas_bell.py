@@ -30,7 +30,8 @@ _wp_dataclass = _wp_dc.dataclass
 
 __all__ = ["bell_spmm_pallas", "bell_spmm_pallas_fused",
            "build_banded_plan", "BandedPlan", "bell_spmm_pallas_banded",
-           "banded_spmm_hbm_bytes"]
+           "banded_spmm_hbm_bytes", "BandedKitT", "bell_banded_prepare_t",
+           "bell_spmm_pallas_banded_t", "banded_spmm_t_hbm_bytes"]
 
 
 def _make_kernel(prec):
@@ -545,6 +546,137 @@ def banded_spmm_hbm_bytes(kit: "BandedKit", bsz: int, n: int, k: int,
     ntiles = kit.tiles.shape[0]
     window_bytes = (ntiles // plan.S) * plan.SW * bsz * k * esz
     return kit.tiles.size * esz + window_bytes + n * k * out_itemsize
+
+
+# -- transposed-operand banded SpMM (small k) ---------------------------------
+#
+# At k < 128 the standard banded kernel's operand panels (bsz, k) and output
+# tiles (rt*bsz, k) have a minor dimension below the 128-lane vreg width, so
+# Mosaic pads every load/store to 128 lanes: measured on the 80M-nnz bench
+# band, k=32, 64, and 128 ALL take ~7.7-7.9 ms — k<128 pays k=128's traffic.
+# This variant keeps n on the minor dimension instead: the operand is B^T
+# (k, n), the output C^T (k, n), and each grid step computes
+#   C^T[:, tile] = window(k, W*bsz) @ tile_T(W*bsz, rt*bsz)
+# — every array's minor dim is a multiple of 128 (rt*bsz is forced to one),
+# so k=32 moves k=32's bytes.  Callers chain in transposed space (iterative
+# SpMM feeds C^T straight back as the next B^T); the one-shot wrapper pays
+# two n*k transposes.
+
+
+_bkt_register = _wp_partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["plan", "tiles_t"],
+    meta_fields=[],
+)
+
+
+@_bkt_register
+@_wp_dataclass(frozen=True)
+class BandedKitT:
+    """Plan + TRANSPOSED densified tiles (ntiles, W*bsz, rt*bsz) for
+    :func:`bell_spmm_pallas_banded_t`, from :func:`bell_banded_prepare_t`.
+    Value-bound like :class:`BandedKit`."""
+
+    plan: BandedPlan
+    tiles_t: jax.Array
+
+
+def bell_banded_prepare_t(a: BELL, row_tile: int | None = None,
+                          max_window: int = 64,
+                          compute_dtype=None,
+                          slot_valid=None) -> "BandedKitT | None":
+    """Eager prepare for the transposed small-k banded kernel.
+
+    ``row_tile=None`` picks the largest rt <= 8 with ``rt*bsz`` a multiple
+    of 128 dividing nb (the kernel's output minor dim must be 128-aligned);
+    returns None when none exists or the pattern is not banded."""
+    nb, bsz = a.nb, a.bsz
+    if row_tile is None:
+        cands = [rt for rt in (8, 4, 2, 1)
+                 if (rt * bsz) % 128 == 0 and nb % rt == 0]
+        if not cands:
+            return None
+        row_tile = cands[0]
+    if (row_tile * bsz) % 128:
+        return None
+    plan = build_banded_plan(a, row_tile=row_tile, max_window=max_window,
+                             slot_valid=slot_valid)
+    if plan is None:
+        return None
+    dt = jnp.dtype(compute_dtype) if compute_dtype else a.dtype
+    tiles = jax.jit(_densify_band_tiles, static_argnums=(2,))(a, plan, dt)
+    return BandedKitT(plan=plan, tiles_t=jnp.swapaxes(tiles, 1, 2))
+
+
+def banded_spmm_t_hbm_bytes(kit: "BandedKitT", bsz: int, n: int, k: int,
+                            out_itemsize: int = 4) -> int:
+    """Actual HBM bytes of one transposed-banded SpMM: tiles once, one
+    (k, W*bsz) window per step, C^T once."""
+    plan = kit.plan
+    esz = jnp.dtype(kit.tiles_t.dtype).itemsize
+    ntiles = kit.tiles_t.shape[0]
+    W = plan.W
+    return (kit.tiles_t.size * esz + ntiles * k * W * bsz * esz
+            + n * k * out_itemsize)
+
+
+def bell_spmm_pallas_banded_t(a: BELL, bt: jax.Array, kit: "BandedKitT", *,
+                              precision=None,
+                              interpret: bool = False) -> jax.Array:
+    """C^T = (A @ B)^T with B passed TRANSPOSED as ``bt`` (k, n); returns
+    (k, n).  One (k, W*bsz) element-offset window DMA + one
+    (k, W*bsz) @ (W*bsz, rt*bsz) MXU matmul per grid step.  Chain in
+    transposed space to amortize the layout; ``bell_spmm`` wraps the
+    transposes for one-shot calls."""
+    bt = jnp.asarray(bt)
+    if bt.ndim != 2 or bt.shape[1] != a.n:
+        raise ValueError(
+            f"bell_spmm_pallas_banded_t: operand shape {bt.shape} != (k, {a.n})"
+        )
+    k = bt.shape[0]
+    nb, bsz = a.nb, a.bsz
+    plan, tiles_t = kit.plan, kit.tiles_t
+    W, rt = plan.W, plan.rt
+    out_dtype = jnp.result_type(a.dtype, bt.dtype)
+    if a.n == 0 or a.Lb == 0 or k == 0:
+        return jnp.zeros((k, a.n), out_dtype)
+    nb_pad = -(-nb // rt) * rt
+    ntiles = nb_pad // rt
+    stream_dtype = tiles_t.dtype
+    btt = bt.astype(stream_dtype)
+    prec = _resolve_precision(precision, stream_dtype)
+    esz = jnp.dtype(stream_dtype).itemsize
+
+    def kernel(start_ref, t_ref, win_ref, o_ref):
+        o_ref[...] = _tile_dot(win_ref[...], t_ref[0], o_ref.dtype, prec)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, W * bsz, rt * bsz), lambda t, start: (t, 0, 0)),
+            # element-offset window: lane offset start[t]*bsz into B^T
+            # (arbitrary DMA offsets; all dims Element per Mosaic)
+            pl.BlockSpec(
+                (pl.Element(k), pl.Element(W * bsz)),
+                lambda t, start: (0, start[t] * bsz),
+            ),
+        ],
+        out_specs=pl.BlockSpec((k, rt * bsz), lambda t, start: (0, t)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, nb_pad * bsz), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ntiles * k * W * bsz * rt * bsz,
+            bytes_accessed=ntiles * (W * bsz * rt * bsz + k * W * bsz) * esz
+            + nb_pad * bsz * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(plan.start, tiles_t, btt)
+    return out if nb_pad == nb else out[:, : a.n]
 
 
 def bell_banded_prepare(a: BELL, row_tile: int | None = None,

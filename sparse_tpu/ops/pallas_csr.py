@@ -52,24 +52,32 @@ __all__ = [
 
 _LANES = 128
 _TILE_CAP = 100_000  # tiles per pallas_call (SMEM prefetch budget: 2 tables)
-_K = 64  # tiles per grid step (amortize the ~1 us per-step floor)
+_K = 64  # 8-row tiles per grid step (amortize the ~1 us per-step floor)
+
+
+def _k_step(rows: int) -> int:
+    """Tiles per grid step: keep the slots/step constant (64 x 1024) across
+    row-block heights."""
+    return max(_K * 8 // rows, 1)
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["vals", "q", "seg_of", "rb"],
-    meta_fields=["n", "m", "n_tiles", "fill", "chunks", "wsub"],
+    meta_fields=["n", "m", "n_tiles", "fill", "chunks", "wsub", "rows"],
 )
 @dataclasses.dataclass(frozen=True)
 class SegTilePlan:
     """Static segment-tile layout of a CSR pattern (+ values).
 
-    ``vals``: (n_tiles, 8, 128) slot values; ``q``: int8 sublane pointers
+    ``vals``: (n_tiles, rows, 128) slot values; ``q``: int8 sublane pointers
     in [0, wsub); ``seg_of``: (n_tiles,) window base sublane into the
     resident operand; ``rb``: (n_tiles,) global output row block;
     ``chunks``: static (group0, group1) ranges per pallas_call (SMEM
     prefetch budget); ``wsub``: operand window height in sublanes (the
-    window covers ``wsub * 128`` operand columns).  ``fill`` is the
+    window covers ``wsub * 128`` operand columns); ``rows``: row-block
+    height (8 = one VPU vreg of rows per tile; 32 = the super-block kernel,
+    4 vregs sharing one window slice and one output RMW).  ``fill`` is the
     nnz / slot occupancy ratio (diagnostic + dispatch)."""
 
     vals: jax.Array
@@ -82,23 +90,25 @@ class SegTilePlan:
     fill: float
     chunks: tuple
     wsub: int = 8
+    rows: int = 8
 
 
-def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
+def build_seg_tiles(a: CSR, wsub: int = 8, rows: int = 8,
+                    layout: str = "ff") -> SegTilePlan:
     """Host-side tiling of a CSR matrix (eager, once per pattern+values).
 
-    Entries of each 8-row block are bucketed by ``wsub*128``-column window
-    anchored at the block's first column (lane-aligned); within a bucket,
-    entry (r, c) occupies slot (r % 8, c % 128) of the bucket's current
-    tile, spilling to a fresh tile when the slot is taken (same row+lane,
-    different sublane) — the sum over spill tiles restores the exact
-    per-row total.  The tile count is padded to a multiple of ``_K`` with
-    inert zero tiles.  The padded slot arrays are assembled on device (one
-    scatter) — shipping them pre-built from the host costs ~30x more
-    transfer.
+    Entries of each ``rows``-row block are bucketed by ``wsub*128``-column
+    window anchored at the block's first column (lane-aligned); within a
+    bucket, entry (r, c) occupies slot (r % rows, c % 128) of the bucket's
+    current tile, spilling to a fresh tile when the slot is taken (same
+    row+lane, different sublane) — the sum over spill tiles restores the
+    exact per-row total.  The tile count is padded to a multiple of the
+    grid-step tile count with inert zero tiles.  The padded slot arrays are
+    assembled on device (one scatter) — shipping them pre-built from the
+    host costs ~30x more transfer.
 
     ``wsub`` (8, 16, or 32) trades per-tile gather cost for tile count:
-    wider windows pack patterns whose 8-row blocks span more than
+    wider windows pack patterns whose row blocks span more than
     ``wsub*128`` columns into fewer, fuller tiles (e.g. a +-1000 band at 20
     nnz/row measures fill 0.036 at wsub=8; the block's ~2000-column span
     fits one wsub=16 window).  ``wsub="auto"`` builds the cheap symbolic
@@ -106,50 +116,86 @@ def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
     doubling (the per-tile gather decomposition costs one extra native
     gather + select per 8-sublane chunk, so a smaller reduction could lose
     — provisional until per-wsub rates are measured on-chip).
+
+    ``rows`` (8 or 32): row-block height.  32 packs 4 VPU vregs per tile
+    sharing one window slice and one output RMW; measured on the 10M-nnz
+    band it LOSES to 8 (same ~47-55 ns per vreg — slices/RMWs are fully
+    pipelined — but worse fill from the wider column span), so 8 is the
+    production height.
+
+    ``layout``: ``"ff"`` (default, round 4) — greedy first-fit packing:
+    per block, entries visit open tiles in (column, row) order and land in
+    the first whose window covers them and whose slot is free; straddle
+    windows merge and spills pool, measured ~25%% fewer tiles than
+    ``"rigid"`` (the round-2/3 anchor-partitioned windows + spill tiers,
+    kept for A/B).
     """
+    if rows not in (8, 32):
+        raise ValueError(f"build_seg_tiles: rows must be 8 or 32, got {rows}")
+    if layout not in ("ff", "rigid"):
+        raise ValueError(
+            f"build_seg_tiles: layout must be 'ff' or 'rigid', got {layout}"
+        )
     if wsub == "auto":
         from ..native.plansort import seg_tile_layout as _stl
+        from ..native.plansort import seg_tile_layout_ff as _stl_ff
 
+        _sweep = _stl if layout == "rigid" else _stl_ff
         indptr_a = np.asarray(a.indptr)
         cols_a = np.asarray(a.indices)[: int(indptr_a[-1])]
         best = 8
-        prev = _stl(indptr_a, cols_a, 8)
+        prev = _sweep(indptr_a, cols_a, 8, rows=rows)
         if prev is not None:
             prev_nt = prev[2].size
             for cand in (16, 32):
-                nxt = _stl(indptr_a, cols_a, cand)
+                nxt = _sweep(indptr_a, cols_a, cand, rows=rows)
                 if nxt is None or prev_nt == 0:
                     break
-                if prev_nt / max(nxt[2].size, 1) < 1.7:
+                # measured per-vreg cost: ~46 ns + ~8.7 ns per extra
+                # 8-sublane gather chunk -> widening wins whenever it cuts
+                # tiles by more than ~1.2x per doubling
+                if prev_nt / max(nxt[2].size, 1) < 1.2:
                     break
                 best, prev_nt = cand, nxt[2].size
         wsub = best
     if wsub not in (8, 16, 32):
         raise ValueError(f"build_seg_tiles: wsub must be 8, 16, or 32, got {wsub}")
     n, m = a.shape
+    R = rows
     indptr = np.asarray(a.indptr)
     cols = np.asarray(a.indices).astype(np.int64)
     nnz = int(indptr[-1])
-    nb8 = -(-max(n, 1) // 8)
+    nbR = -(-max(n, 1) // R)
     cols = cols[:nnz]
+
+    if layout == "ff":
+        from ..native.plansort import seg_tile_layout_ff, seg_tile_layout_ff_py
+
+        res = seg_tile_layout_ff(indptr, cols, wsub, rows=R) if nnz else None
+        if res is None:
+            res = seg_tile_layout_ff_py(indptr, cols, wsub, rows=R)
+        pos_src, sub_src, t_base, t_rb = res
+        return _finish_plan(a, n, m, nnz, wsub, R, pos_src, sub_src, None,
+                            t_base, t_rb, t_base.size, full_sort=True)
 
     # fast path: the whole bucketing sweep in native code (one O(nnz) pass;
     # bit-identical tile numbering, pinned by tests).  This host's NumPy
     # runs the ~30-array-pass fallback below at ~60 s per 2M nnz.
     from ..native.plansort import seg_tile_layout
 
-    native = seg_tile_layout(indptr, cols, wsub) if nnz else None
+    native = seg_tile_layout(indptr, cols, wsub, rows=R) if nnz else None
     if native is not None:
         pos_src, sub_src, t_base, t_rb = native
         n_real = t_base.size
-        return _finish_plan(a, n, m, nnz, wsub, pos_src, sub_src, None,
+        return _finish_plan(a, n, m, nnz, wsub, R, pos_src, sub_src, None,
                             t_base, t_rb, n_real)
 
-    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
-    rb = rows >> 3
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    rsh = R.bit_length() - 1  # log2(R)
+    rb = row_ids >> rsh
 
     # window anchor: each row block's first (lane-aligned) column
-    minc = np.full(nb8, np.iinfo(np.int64).max)
+    minc = np.full(nbR, np.iinfo(np.int64).max)
     np.minimum.at(minc, rb, cols)
     anchor_sub = np.where(minc == np.iinfo(np.int64).max, 0, minc >> 7)
     win = ((cols >> 7) - anchor_sub[rb]) // wsub  # wsub*128-col window index
@@ -159,21 +205,21 @@ def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
 
     # sort by (rb, win, row, lane, sub): one fused-u64-key radix argsort
     # (native, sparse_tpu.native.plansort) when the key fits, else lexsort.
-    # rows within a block differ only in ri = rows & 7, so (rb, rows) ==
+    # rows within a block differ only in ri = row & (R-1), so (rb, row) ==
     # (rb, ri) under the rb-major order.
     nwin = int(win.max()) + 1 if nnz else 1
-    if nnz and nb8 * nwin * 8 * 128 * wsub < (1 << 62):
+    if nnz and nbR * nwin * R * 128 * wsub < (1 << 62):
         from ..native.plansort import argsort_u64
 
-        key = ((((rb * nwin + win) * 8 + (rows & 7)) * 128 + lane) * wsub
-               + sub).astype(np.uint64)
+        key = ((((rb * nwin + win) * R + (row_ids & (R - 1))) * 128 + lane)
+               * wsub + sub).astype(np.uint64)
         order = argsort_u64(key)
     else:
-        order = np.lexsort((sub, lane, rows, win, rb))
+        order = np.lexsort((sub, lane, row_ids, win, rb))
     rb_o, win_o, lane_o = rb[order], win[order], lane[order]
-    rows_o, sub_o = rows[order], sub[order]
+    rows_o, sub_o = row_ids[order], sub[order]
     base_o = base[order]
-    ri = rows_o & 7
+    ri = rows_o & (R - 1)
 
     # spill tiers: k-th entry of a (rb, win, row, lane) group -> tile k
     ne = rb_o.size
@@ -189,7 +235,7 @@ def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
         )
         # number tiles in (rb, win, tier) order
         T = int(tier.max()) + 1
-        if nb8 * nwin * T < (1 << 62):
+        if nbR * nwin * T < (1 << 62):
             from ..native.plansort import argsort_u64
 
             order2 = argsort_u64(
@@ -218,8 +264,8 @@ def build_seg_tiles(a: CSR, wsub: int = 8) -> SegTilePlan:
         t_base = np.zeros(0, np.int64)
         t_rb = np.zeros(0, np.int64)
 
-    pos_src = tile_of * (8 * _LANES) + ri * _LANES + lane_o
-    return _finish_plan(a, n, m, nnz, wsub, pos_src, sub_o, order,
+    pos_src = tile_of * (R * _LANES) + ri * _LANES + lane_o
+    return _finish_plan(a, n, m, nnz, wsub, R, pos_src, sub_o, order,
                         t_base, t_rb, n_real)
 
 
@@ -244,8 +290,8 @@ def _fill_gather(pos, src, data, size):
     )
 
 
-def _finish_plan(a, n, m, nnz, wsub, pos_src, sub_src, src_index,
-                 t_base, t_rb, n_real) -> SegTilePlan:
+def _finish_plan(a, n, m, nnz, wsub, R, pos_src, sub_src, src_index,
+                 t_base, t_rb, n_real, full_sort: bool = False) -> SegTilePlan:
     """Shared plan tail: tile padding, SMEM chunking, and the device-side
     fill of the padded slot arrays.
 
@@ -257,46 +303,56 @@ def _finish_plan(a, n, m, nnz, wsub, pos_src, sub_src, src_index,
     reads ``a.data`` through the sorted entry permutation (``src_index``
     maps pos positions to original entry ids; None = identity).  Ships pos
     + entry ids as int32 (8 B/nnz)."""
-    n_tiles = max(-(-max(n_real, 1) // _K) * _K, _K)
+    kstep = _k_step(R)
+    slots = R * _LANES
+    n_tiles = max(-(-max(n_real, 1) // kstep) * kstep, kstep)
     seg_of = np.zeros(n_tiles, np.int32)
     t_rb_pad = np.zeros(n_tiles, np.int32)
     seg_of[:n_real] = t_base
     t_rb_pad[:n_real] = t_rb
 
     # chunk the grid so per-call SMEM tables stay within budget
-    n_groups = n_tiles // _K
-    cap_groups = max(_TILE_CAP // _K, 1)
+    n_groups = n_tiles // kstep
+    cap_groups = max(_TILE_CAP // _K, 1)  # budget counts grid STEPS
     chunks = tuple(
         (g0, min(g0 + cap_groups, n_groups))
         for g0 in range(0, n_groups, cap_groups)
     )
 
-    if n_tiles * 8 * _LANES > np.iinfo(np.int32).max:
+    if n_tiles * slots > np.iinfo(np.int32).max:
         raise ValueError(
             f"build_seg_tiles: {n_tiles} tiles overflows int32 slot "
             "positions (8 GB of slot storage — use the XLA path)"
         )
-    from ..native.plansort import counting_argsort
+    from ..native.plansort import argsort_u64, counting_argsort
 
+    shift = slots.bit_length() - 1  # slots is a power of two
     pos_np = np.asarray(pos_src)
-    order = (counting_argsort(pos_np >> 10, max(n_real, 1)) if nnz
-             else np.zeros(0, np.int64))
+    # rigid layouts emit within-tile entries already (ri, lane)-ascending,
+    # so a counting sort by tile id fully sorts slot positions; first-fit
+    # emits column-major within a tile and needs the full radix argsort
+    if not nnz:
+        order = np.zeros(0, np.int64)
+    elif full_sort:
+        order = argsort_u64(pos_np.astype(np.uint64))
+    else:
+        order = counting_argsort(pos_np >> shift, max(n_real, 1))
     pos = jnp.asarray(pos_np[order].astype(np.int32))
     entry = np.asarray(src_index)[order] if src_index is not None else order
     eidx = jnp.asarray(entry.astype(np.int32))
     tvals = _fill_gather(
-        pos, eidx, a.data, n_tiles * 8 * _LANES
-    ).reshape(n_tiles, 8, _LANES)
+        pos, eidx, a.data, n_tiles * slots
+    ).reshape(n_tiles, R, _LANES)
     # q scatters as f32 (values 0..31, exact) so this reuses the f32
     # executable _fill_slots just compiled — the int8 scatter costs its own
     # ~9 s XLA compile; the device-side cast is negligible
     tq = (
         _fill_slots(
             pos, jnp.asarray(np.asarray(sub_src)[order].astype(np.float32)),
-            n_tiles * 8 * _LANES,
+            n_tiles * slots,
         )
         .astype(jnp.int8)
-        .reshape(n_tiles, 8, _LANES)
+        .reshape(n_tiles, R, _LANES)
     )
     return SegTilePlan(
         vals=tvals,
@@ -306,17 +362,29 @@ def _finish_plan(a, n, m, nnz, wsub, pos_src, sub_src, src_index,
         n=n,
         m=m,
         n_tiles=n_tiles,
-        fill=nnz / max(n_tiles * 8 * _LANES, 1),
+        fill=nnz / max(n_tiles * slots, 1),
         chunks=chunks,
         wsub=wsub,
+        rows=R,
     )
 
 
 def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
-                     *, interpret: bool = False) -> jax.Array:
+                     *, reduce: str = "vpu", batch: int = 64,
+                     interpret: bool = False) -> jax.Array:
     """SpMV via the segment-tile kernel; matches ``csr_smvm`` up to float
     summation order.  ``plan`` from :func:`build_seg_tiles` (value-bound:
-    rebuild after updating ``a.data``)."""
+    rebuild after updating ``a.data``).
+
+    ``reduce``: how per-tile products become row sums.
+    ``"mxu"`` (default): products accumulate into a per-step VMEM scratch;
+    ONE ``(kstep*R, 128) @ (128, 8)`` all-ones matmul (f32 HIGHEST — exact,
+    the rhs's bf16 split is lossless) reduces every tile's lanes in a
+    single MXU issue, and one cheap value transpose turns the column of
+    sums into lane-major rows for the output RMWs — no cross-lane VPU
+    shuffles at all.  ``"vpu"``: the round-2/3 per-vreg ``jnp.sum`` lane
+    reduce (measured ~46-55 ns/vreg ON the reduce+relayout critical path —
+    kept for A/B measurement)."""
     v = jnp.asarray(v)
     n, m = a.shape
     if v.shape != (m,):
@@ -325,6 +393,8 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
     if n == 0:
         return jnp.zeros((0,), out_dtype)
     wsub = plan.wsub
+    R = plan.rows
+    kstep = _k_step(R)
     # resident operand: whole vector as sublane rows, +wsub zero rows so any
     # in-range window base reads without clamping
     s_rows = -(-max(m, 1) // _LANES) + wsub
@@ -332,38 +402,101 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
     v2 = jax.lax.dynamic_update_slice(
         v2.reshape(-1), v.astype(out_dtype), (0,)
     ).reshape(s_rows, _LANES)
-    nb8 = -(-n // 8)
+    nbR = -(-n // R)
 
-    # Measured variants at 10M nnz band (v5e, chained): per-tile reduce+RMW
-    # as below: 13.9 ms; q packed into (32,128) int8 native tiles: 14.8 ms;
-    # scratch accumulator drained once per row-block run (per-tile
-    # conditionals): 20.0 ms — the conditionals defeat Mosaic pipelining.
-    def kernel(seg_of, rb, vals_ref, q_ref, v_ref, o_ref):
+    # Measured variants at 10M nnz band (v5e, chained): R=8 per-tile
+    # reduce+RMW as below: 13.9 ms; q packed into (32,128) int8 native
+    # tiles: 14.8 ms; scratch accumulator drained once per row-block run
+    # (per-tile conditionals): 20.0 ms — the conditionals defeat Mosaic
+    # pipelining.  R=32 shares one window slice + one output RMW across 4
+    # vreg-rows of slots (round 4).
+    def _gathered(seg, q, gi):
+        """Product operand vreg gi of a tile: window values selected by the
+        sublane pointers.  Mosaic's dynamic gather requires indices.shape ==
+        src.shape: gather each 8-sublane chunk of the window with the SHARED
+        masked index ``q & 7`` and select by the chunk bits (``q >> 3``) —
+        out-of-chunk gathers read in-bounds junk that the select discards
+        (wsub=8 stays one native gather with no masking at all, since the
+        plan guarantees q < 8)."""
+        qg = q[gi * 8:(gi + 1) * 8]
+        if wsub == 8:
+            return jnp.take_along_axis(seg[0:8], qg, axis=0)
+        qm = qg & 7
+        gx = jnp.take_along_axis(seg[0:8], qm, axis=0)
+        for c in range(1, wsub // 8):
+            gc = jnp.take_along_axis(seg[c * 8:(c + 1) * 8], qm, axis=0)
+            gx = jnp.where(qg >= c * 8, gc, gx)
+        return gx
+
+    def kernel_vpu(seg_of, rb, vals_ref, q_ref, v_ref, o_ref):
         g = pl.program_id(0)
 
         @pl.when(g == 0)
         def _():
             o_ref[...] = jnp.zeros_like(o_ref)
 
-        for j in range(_K):
-            t = g * _K + j
+        # batched two-phase emission: a batch of tiles' gather->mul->reduce
+        # chains first, their RMWs after — consecutive tiles of one row
+        # block would otherwise serialize on the same output row's
+        # read-after-write (measured 9.5 -> 9.0 ms at the bench size);
+        # batching bounds live accumulator registers
+        for b0 in range(0, kstep, batch):
+            accs = []
+            for j in range(b0, min(b0 + batch, kstep)):
+                t = g * kstep + j
+                seg = v_ref[pl.ds(seg_of[t], wsub), :]
+                q = q_ref[j].astype(jnp.int32)  # (R, 128)
+                parts = []
+                for gi in range(R // 8):
+                    gx = _gathered(seg, q, gi)
+                    parts.append(
+                        jnp.sum(vals_ref[j, gi * 8:(gi + 1) * 8] * gx,
+                                axis=1)
+                    )
+                accs.append(parts[0] if R == 8 else jnp.concatenate(parts))
+            for i, j in enumerate(range(b0, min(b0 + batch, kstep))):
+                t = g * kstep + j
+                o_ref[pl.ds(rb[t], 1)] += accs[i][None]
+
+    rows_step = kstep * R  # product-scratch rows per grid step (= 512)
+
+    def kernel_mxu(seg_of, rb, vals_ref, q_ref, v_ref, o_ref, scratch):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        for j in range(kstep):
+            t = g * kstep + j
             seg = v_ref[pl.ds(seg_of[t], wsub), :]
-            q = q_ref[j].astype(jnp.int32)
-            # Mosaic's dynamic gather requires indices.shape == src.shape:
-            # gather each 8-sublane chunk of the window and select by q's
-            # chunk (wsub=8 stays a single native gather)
-            gx = jnp.take_along_axis(
-                seg[0:8], jnp.minimum(q, 7), axis=0
-            )
-            for c in range(1, wsub // 8):
-                gc = jnp.take_along_axis(
-                    seg[c * 8:(c + 1) * 8],
-                    jnp.clip(q - c * 8, 0, 7),
-                    axis=0,
+            q = q_ref[j].astype(jnp.int32)  # (R, 128)
+            for gi in range(R // 8):
+                gx = _gathered(seg, q, gi)
+                scratch[j * R + gi * 8:j * R + (gi + 1) * 8, :] = (
+                    vals_ref[j, gi * 8:(gi + 1) * 8] * gx
                 )
-                gx = jnp.where(q >= c * 8, gc, gx)
-            acc = jnp.sum(vals_ref[j] * gx, axis=1)  # (8,)
-            o_ref[pl.ds(rb[t], 1)] += acc[None]
+        # one MXU issue reduces every tile's lanes: rowsums land in every
+        # output lane (all-ones rhs), HIGHEST keeps the sum exact in f32
+        ones = jnp.ones((_LANES, 8), out_dtype)
+        mm = jax.lax.dot_general(
+            scratch[...], ones,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=out_dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (rows_step, 8)
+        mmt = mm.T  # (8, rows_step): tile sums now lane-major
+        for j in range(kstep):
+            t = g * kstep + j
+            # (1, R) static lane slice of the transposed sums -> one
+            # sublane-dynamic RMW per tile, no cross-lane shuffles anywhere
+            o_ref[pl.ds(rb[t], 1)] += mmt[0:1, j * R:(j + 1) * R]
+
+    kernel = kernel_vpu if reduce == "vpu" else kernel_mxu
+    scratch_shapes = (
+        [] if reduce == "vpu"
+        else [pltpu.VMEM((rows_step, _LANES), out_dtype)]
+    )
 
     pieces = []
     vals_all = plan.vals.astype(out_dtype)
@@ -373,19 +506,21 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
             num_scalar_prefetch=2,
             grid=(ng,),
             in_specs=[
-                pl.BlockSpec((_K, 8, _LANES), lambda g, so, rbl: (g, 0, 0)),
-                pl.BlockSpec((_K, 8, _LANES), lambda g, so, rbl: (g, 0, 0)),
+                pl.BlockSpec((kstep, R, _LANES), lambda g, so, rbl: (g, 0, 0)),
+                pl.BlockSpec((kstep, R, _LANES), lambda g, so, rbl: (g, 0, 0)),
                 pl.BlockSpec(v2.shape, lambda g, so, rbl: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((nb8, 8), lambda g, so, rbl: (0, 0)),
+            out_specs=pl.BlockSpec((nbR, R), lambda g, so, rbl: (0, 0)),
+            scratch_shapes=scratch_shapes,
         )
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nb8, 8), out_dtype),
+            out_shape=jax.ShapeDtypeStruct((nbR, R), out_dtype),
             cost_estimate=pl.CostEstimate(
-                flops=2 * ng * _K * 8 * _LANES,
-                bytes_accessed=ng * _K * 8 * _LANES * 5 + m * 4 + nb8 * 32,
+                flops=2 * ng * kstep * R * _LANES,
+                bytes_accessed=ng * kstep * R * _LANES * 5 + m * 4
+                + nbR * R * 4,
                 transcendentals=0,
             ),
             # the resident output + per-tile RMW temporaries exceed the
@@ -395,13 +530,13 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
             ),
             interpret=interpret,
         )(
-            jax.lax.dynamic_slice(plan.seg_of, (g0 * _K,), (ng * _K,)),
-            jax.lax.dynamic_slice(plan.rb, (g0 * _K,), (ng * _K,)),
+            jax.lax.dynamic_slice(plan.seg_of, (g0 * kstep,), (ng * kstep,)),
+            jax.lax.dynamic_slice(plan.rb, (g0 * kstep,), (ng * kstep,)),
             jax.lax.dynamic_slice(
-                vals_all, (g0 * _K, 0, 0), (ng * _K, 8, _LANES)
+                vals_all, (g0 * kstep, 0, 0), (ng * kstep, R, _LANES)
             ),
             jax.lax.dynamic_slice(
-                plan.q, (g0 * _K, 0, 0), (ng * _K, 8, _LANES)
+                plan.q, (g0 * kstep, 0, 0), (ng * kstep, R, _LANES)
             ),
             v2,
         )
@@ -409,7 +544,7 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
     y = pieces[0]
     for p in pieces[1:]:
         y = y + p
-    return y.reshape(nb8 * 8)[:n]
+    return y.reshape(nbR * R)[:n]
 
 
 # resident budget: operand (m) + output (n) f32 rows in VMEM; keep the two

@@ -218,3 +218,51 @@ def test_banded_kernels_lower_for_tpu():
         ):
             exported = jax.export.export(jax.jit(fn), platforms=["tpu"])(a, b)
             assert "tpu_custom_call" in exported.mlir_module()
+
+
+# -- transposed-operand banded kernel (small k) --------------------------------
+
+
+@pytest.mark.parametrize("nb,bsz,hb,k", [(16, 32, 1, 32), (24, 16, 2, 64),
+                                         (12, 64, 1, 32)])
+def test_pallas_spmm_banded_t_matches(nb, bsz, hb, k):
+    """C^T = (A @ B)^T with the transposed small-k kernel: matches the
+    dense oracle; rt*bsz forced to a 128 multiple."""
+    from sparse_tpu.ops.pallas_bell import (
+        bell_banded_prepare_t,
+        bell_spmm_pallas_banded_t,
+    )
+
+    a, x = banded_bell(nb, bsz, hb, seed=nb + k)
+    kit = bell_banded_prepare_t(a)
+    assert kit is not None
+    assert (kit.plan.rt * bsz) % 128 == 0
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal((a.n, k)).astype(np.float32)
+    ct = bell_spmm_pallas_banded_t(a, jnp.asarray(b.T), kit, interpret=True)
+    assert ct.shape == (k, a.n)
+    np.testing.assert_allclose(np.asarray(ct).T, x @ b, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_spmm_banded_t_fallbacks_and_lowering():
+    from sparse_tpu.ops.pallas_bell import (
+        bell_banded_prepare_t,
+        bell_spmm_pallas_banded_t,
+    )
+
+    # bsz=8: no rt <= 8 makes rt*bsz a 128 multiple -> None
+    a8, _ = banded_bell(16, 8, 1, seed=2)
+    assert bell_banded_prepare_t(a8) is None
+    # non-banded pattern -> None (build_banded_plan rejects)
+    a, x = banded_bell(16, 32, 1, seed=4)
+    kit = bell_banded_prepare_t(a)
+    bt = jnp.asarray(np.random.default_rng(0)
+                     .standard_normal((32, a.n)).astype(np.float32))
+    with jax.enable_x64(False):
+        exported = jax.export.export(
+            jax.jit(lambda a, bt: bell_spmm_pallas_banded_t(a, bt, kit)),
+            platforms=["tpu"],
+        )(a, bt)
+    assert "tpu_custom_call" in exported.mlir_module()
+    with pytest.raises(ValueError, match="operand shape"):
+        bell_spmm_pallas_banded_t(a, bt[:, :-1], kit)

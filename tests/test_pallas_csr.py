@@ -199,3 +199,81 @@ def test_segtile_auto_window_height():
             indices=jnp.asarray(B.indices.astype(np.int32)),
             indptr=jnp.asarray(B.indptr.astype(np.int32)), shape=(n, m))
     assert build_seg_tiles(b, wsub="auto").wsub == 8
+
+
+@pytest.mark.parametrize("wsub", [8, 16])
+def test_segtile_32row_superblock_matches(wsub):
+    """rows=32 packs 4 vreg-rows per tile (one window slice + one RMW); must
+    agree with the oracle and the rows=8 kernel."""
+    rng = np.random.default_rng(91)
+    n = m = 4096
+    per_row = 9
+    rows = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    cols = np.clip(rows + rng.integers(-700, 700, rows.size), 0, m - 1)
+    A = sp.coo_matrix((rng.standard_normal(rows.size), (rows, cols)),
+                      shape=(n, m)).tocsr()
+    A.sum_duplicates()
+    a = CSR(data=jnp.asarray(A.data, np.float32),
+            indices=jnp.asarray(A.indices.astype(np.int32)),
+            indptr=jnp.asarray(A.indptr.astype(np.int32)), shape=(n, m))
+    x = rng.standard_normal(m).astype(np.float32)
+    p32 = build_seg_tiles(a, wsub=wsub, rows=32)
+    assert p32.rows == 32 and p32.vals.shape[1:] == (32, 128)
+    got = np.asarray(csr_smvm_segtile(a, jnp.asarray(x), p32, interpret=True))
+    np.testing.assert_allclose(got, A @ x, rtol=2e-5, atol=2e-5)
+    with pytest.raises(ValueError):
+        build_seg_tiles(a, rows=16)
+
+
+def test_segtile_32row_native_matches_numpy():
+    """rows=32 plan: native sweep bit-identical to the NumPy fallback."""
+    from unittest import mock
+
+    a, A = random_csr(300, 1100, 4000, seed=8)
+    p_fused = build_seg_tiles(a, rows=32)
+    with mock.patch("sparse_tpu.native.plansort._lib", None), \
+         mock.patch("sparse_tpu.native.plansort._tried", True):
+        p_np = build_seg_tiles(a, rows=32)
+    for f in ("vals", "q", "seg_of", "rb"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(p_fused, f)), np.asarray(getattr(p_np, f))
+        )
+    assert p_fused.n_tiles == p_np.n_tiles and p_fused.chunks == p_np.chunks
+
+
+def test_segtile_32row_lowers_for_tpu():
+    a, A = random_csr(64, 2048, 600, seed=3)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(2048)
+                    .astype(np.float32))
+    plan = build_seg_tiles(a, wsub=16, rows=32)
+    with jax.enable_x64(False):
+        exported = jax.export.export(
+            jax.jit(lambda a, v: csr_smvm_segtile(a, v, plan)),
+            platforms=["tpu"],
+        )(a, x)
+    assert "tpu_custom_call" in exported.mlir_module()
+
+
+def test_segtile_first_fit_native_matches_python():
+    """First-fit layout: native sweep bit-identical to the pure-Python
+    reference; fewer or equal tiles vs the rigid layout; kernel agrees."""
+    from sparse_tpu.native import plansort
+
+    a, A = random_csr(300, 2600, 5000, seed=12)
+    indptr = np.asarray(a.indptr)
+    cols = np.asarray(a.indices)[: int(indptr[-1])]
+    for wsub in (8, 16):
+        nat = plansort.seg_tile_layout_ff(indptr, cols, wsub)
+        py = plansort.seg_tile_layout_ff_py(indptr, cols, wsub)
+        if nat is None:
+            pytest.skip("native plan core unavailable")
+        for got, want in zip(nat, py):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    pf = build_seg_tiles(a, wsub=16, layout="ff")
+    pr = build_seg_tiles(a, wsub=16, layout="rigid")
+    assert pf.n_tiles <= pr.n_tiles
+    x = np.random.default_rng(0).standard_normal(2600).astype(np.float32)
+    got = np.asarray(csr_smvm_segtile(a, jnp.asarray(x), pf, interpret=True))
+    ref = np.asarray(csr_smvm_segtile(a, jnp.asarray(x), pr, interpret=True))
+    np.testing.assert_allclose(got, A @ x, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(ref, A @ x, rtol=2e-5, atol=2e-5)
