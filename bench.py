@@ -147,11 +147,21 @@ def tpu_time(rows, cols, blocks, b, iters=3):
     plan = None
     if jax.default_backend() == "tpu":
         try:
+            # two explicit stages so the bench log attributes the prepare
+            # cost (the round-3 log lumped ~190 s into one line): the host
+            # symbolic plan is O(nb*Lb) numpy; the tiles are ONE device-side
+            # jitted gather whose wall time through the tunnel is dominated
+            # by its XLA compile (docs/performance.md prepare-cost table)
+            from sparse_tpu.ops.pallas_bell import build_banded_plan
+
+            build_banded_plan(a, row_tile=5, slot_valid=slot_valid)
+            _mark("banded plan built (host symbolic pass)")
             plan = bell_banded_prepare(a, row_tile=5, slot_valid=slot_valid)
+            jax.block_until_ready(plan.tiles)
         except Exception as e:  # fused kernel still posts a valid headline
             _mark(f"banded prepare failed ({type(e).__name__}: {e}); "
                   "falling back to the fused kernel")
-    _mark("banded plan + tiles prepared")
+    _mark("banded tiles densified on device (jit compile + one gather)")
     bj = (jax.random.normal(jax.random.PRNGKey(1), (nb * BSZ, K), jnp.float32)
           * 0.01)
 

@@ -52,9 +52,21 @@ def _mesh(n_points: int, seed: int):
     return pts, t[keep]
 
 
-def _scramble(a: sp.csr_matrix, seed: int) -> sp.csr_matrix:
+def _scramble(a: sp.csr_matrix, seed: int, block: int = 1) -> sp.csr_matrix:
+    """Random symmetric permutation hiding the mesher's latent locality.
+
+    ``block`` > 1 permutes *groups* of consecutive indices together — the
+    realistic scramble for multi-dof problems: a mesher/assembler emits
+    NODES in arbitrary order, but each node's dofs stay adjacent, so real
+    elasticity matrices (bcsstk class) arrive with their 2x2 dof blocks
+    intact even when node numbering is arbitrary.  (Round 3 scrambled at
+    dof granularity, which destroyed the block structure no real input
+    loses — and with it the block-dispatch story this fixture exists to
+    exercise.)"""
     rng = np.random.default_rng(seed + 1000)
-    p = rng.permutation(a.shape[0])
+    nb = a.shape[0] // block
+    p = (rng.permutation(nb)[:, None] * block
+         + np.arange(block)[None, :]).reshape(-1)
     return a[p][:, p].tocsr()
 
 
@@ -105,7 +117,8 @@ def elasticity_fem(n_points: int = 3_000, seed: int = 1,
                       shape=(2 * n, 2 * n)).tocsr()
     a.sum_duplicates()
     a = a + sp.eye(2 * n, format="csr") * 1e-8
-    return _scramble(a, seed) if scramble else a
+    # node-blockwise scramble: dof pairs travel together (see _scramble)
+    return _scramble(a, seed, block=2) if scramble else a
 
 
 def powerlaw_graph(n: int = 10_000, m: int = 8, seed: int = 2) -> sp.csr_matrix:

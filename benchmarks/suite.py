@@ -137,12 +137,18 @@ def bench_csr_segtile(quick):
         indptr=jnp.asarray(indptr.astype(np.int32)),
         shape=(n, m),
     )
-    plan = build_seg_tiles(a)
+    # production config (round 4): first-fit packing + auto window width
+    plan = build_seg_tiles(a, wsub="auto")
+    emit("csr_spmv_segtile_fill", plan.fill, "ratio")
     v0 = jnp.asarray(rng.standard_normal(m).astype(np.float32))
     t = timed_chain(lambda v, a, plan: csr_smvm_segtile(a, v, plan), v0, a, plan)
     emit("csr_spmv_segtile_banded_nnzps", nnz / t / 1e9, "Gnnz/s")
-    # slot traffic (5 B/slot) + operand + output is what the kernel streams
-    slots = plan.n_tiles * 8 * 128
+    # slot traffic (5 B/slot) + operand + output is what the kernel streams.
+    # NOTE: better packing (round 4's first-fit) CUTS this number while
+    # LIFTING nnz/s — fewer slots read per nnz; nnz/s is the target metric
+    # (BASELINE config 2), the traffic fraction only says how far the
+    # per-vreg VPU cost sits from pure streaming
+    slots = plan.n_tiles * plan.rows * 128
     eff = (slots * 5 + m * 4 + n * 4) / t / 1e9
     emit("csr_spmv_segtile_banded_eff_bw", eff, "GB/s",
          eff / MEASURED_CEILING_GBPS)
@@ -202,7 +208,7 @@ def bench_reorder(quick):
     emit("rcm_reorder_seconds", time.perf_counter() - t0, "s")
     emit("rcm_bandwidth_reduction", csr_bandwidth(a) / max(csr_bandwidth(ap), 1),
          "x")
-    plan = build_seg_tiles(ap)
+    plan = build_seg_tiles(ap, wsub="auto")
     pj = jnp.asarray(perm)
 
     def step(v, ap, plan, pj):
@@ -218,10 +224,16 @@ def bench_real_matrices(quick):
     zero egress, so benchmarks/gen_fixtures.py assembles the same matrix
     classes from first principles): committed .mtx fixtures are parsed by
     the library's own reader, pushed through reorder -> segtile -> SpMV, and
-    a large in-process FEM instance gives the roofline-relevant rate.
+    large in-process FEM instances (1M-row poisson, 400k-row elasticity)
+    give the roofline-relevant rates.
 
     Per matrix: nnz, RCM bandwidth reduction, segment-tile fill (the
-    dispatch statistic), and the reordered-kernel vs XLA-path SpMV rates."""
+    dispatch statistic), the reordered-kernel vs XLA-path SpMV rates, and
+    the measured-traffic roofline fraction (plan slots * 5 B + operand +
+    output over the 207 GB/s ceiling).  Matrices with natural dense blocks
+    (elasticity: 2x2 dof blocks intact under any node numbering)
+    additionally run the round-4 BLOCK-ROUTED SpGEMM — the auto dispatcher
+    must pick it (asserted) — against the scalar prepared path."""
     import jax
     import jax.numpy as jnp
 
@@ -229,6 +241,7 @@ def bench_real_matrices(quick):
     from sparse_tpu.io.matrix_market import mm_read
     from sparse_tpu.ops.pallas_csr import build_seg_tiles, csr_smvm_segtile
     from sparse_tpu.ops.spmv import build_spmv_plan, csr_smvm_fast
+    from sparse_tpu.utils.stats import detect_block_size
 
     on_tpu = jax.default_backend() == "tpu"
     rng = np.random.default_rng(11)
@@ -240,7 +253,7 @@ def bench_real_matrices(quick):
         bw0 = csr_bandwidth(a)
         ap, perm = reorder_for_locality(a)
         emit(f"{tag}_rcm_bw_reduction", bw0 / max(csr_bandwidth(ap), 1), "x")
-        plan = build_seg_tiles(ap)
+        plan = build_seg_tiles(ap, wsub="auto")
         emit(f"{tag}_segtile_fill", plan.fill, "ratio")
         if not on_tpu:
             return
@@ -259,26 +272,100 @@ def bench_real_matrices(quick):
 
         t = timed_chain(step, v0, ap, plan, pj)
         emit(f"{tag}_spmv_rcm_segtile_nnzps", nnz / t / 1e9, "Gnnz/s")
+        # measured-traffic roofline for the kernel itself (without the
+        # permute/unpermute wrapper): what the plan's slots stream
+        tk = timed_chain(lambda v, ap, plan: csr_smvm_segtile(ap, v, plan),
+                         v0, ap, plan)
+        traffic = plan.n_tiles * plan.rows * 128 * 5 + m * 4 + n * 4
+        emit(f"{tag}_segtile_kernel_nnzps", nnz / tk / 1e9, "Gnnz/s")
+        emit(f"{tag}_segtile_traffic_frac",
+             traffic / tk / 1e9 / MEASURED_CEILING_GBPS, "frac")
+
+    def run_block_spgemm(tag, a):
+        """Block-routed SpGEMM on a natural-block matrix vs the scalar
+        prepared path (the round-3 measured ~900x win at bsz=32 was never
+        reachable without hand-routing; round 4's dispatcher must find the
+        block route on its own)."""
+        from sparse_tpu.formats.bsr import (
+            bsr_smsmm_apply,
+            bsr_smsmm_prepare,
+            csr_to_bsr,
+        )
+        from sparse_tpu.ops.spgemm import _spgemm_route
+
+        bsz, fill = detect_block_size(a)
+        emit(f"{tag}_detected_bsz", bsz, "bsz")
+        route, rbsz = _spgemm_route(a, a)
+        assert route == "block" and rbsz == bsz, (
+            f"{tag}: expected the auto dispatcher to pick the block route, "
+            f"got {route}"
+        )
+        if not on_tpu:
+            return
+        ab = csr_to_bsr(a, bsz)
+        t0 = time.perf_counter()
+        bplan = bsr_smsmm_prepare(ab, ab)
+        emit(f"{tag}_block_spgemm_prepare_s", time.perf_counter() - t0, "s")
+        flops = 2 * bplan.n_products * bsz ** 3
+        t = timed_chain(
+            lambda blocks, plan, a: bsr_smsmm_apply(
+                plan, BSR(indices=a.indices, blocks=blocks, n=a.n,
+                          bsz=a.bsz), a).blocks,
+            ab.blocks, bplan, ab,
+        )
+        emit(f"{tag}_block_spgemm_apply_gflops", flops / t / 1e9, "GFLOP/s")
+        # scalar prepared baseline on the same pattern
+        from sparse_tpu.ops.spgemm import spgemm_apply, spgemm_prepare
+
+        t0 = time.perf_counter()
+        splan = spgemm_prepare(a, a)
+        emit(f"{tag}_scalar_spgemm_prepare_s", time.perf_counter() - t0, "s")
+        sflops = 2 * splan.n_products
+        t = timed_chain(
+            lambda data, plan, a: spgemm_apply(
+                plan, CSR(data=data, indices=a.indices, indptr=a.indptr,
+                          shape=a.shape), a).data,
+            a.data, splan, a,
+        )
+        emit(f"{tag}_scalar_spgemm_apply_gflops", sflops / t / 1e9,
+             "GFLOP/s")
+
+    from sparse_tpu import CSR
+    from sparse_tpu.formats.bsr import BSR
 
     fixtures = pathlib.Path(__file__).parent / "matrices"
     for path in sorted(fixtures.glob("*.mtx")):
-        run_one(path.stem, mm_read(str(path), dtype=np.float32))
+        a = mm_read(str(path), dtype=np.float32)
+        run_one(path.stem, a)
+        if "elasticity" in path.stem:
+            run_block_spgemm(path.stem, a)
 
     if not quick:
-        # large FEM instance, generated in-process (roofline-relevant size)
+        # large FEM instances, generated in-process (roofline-relevant
+        # sizes; nothing big is committed)
         sys.path.insert(0, str(pathlib.Path(__file__).parent))
-        from gen_fixtures import poisson_fem
+        from gen_fixtures import elasticity_fem, poisson_fem
 
-        s = poisson_fem(n_points=400_000, seed=6)
-        from sparse_tpu import CSR
+        def to_csr(s):
+            return CSR(
+                data=jnp.asarray(s.data.astype(np.float32)),
+                indices=jnp.asarray(s.indices.astype(np.int32)),
+                indptr=jnp.asarray(s.indptr.astype(np.int32)),
+                shape=s.shape,
+            )
 
-        a = CSR(
-            data=jnp.asarray(s.data.astype(np.float32)),
-            indices=jnp.asarray(s.indices.astype(np.int32)),
-            indptr=jnp.asarray(s.indptr.astype(np.int32)),
-            shape=s.shape,
-        )
-        run_one("fem_poisson_400k", a)
+        run_one("fem_poisson_1m", to_csr(poisson_fem(n_points=1_000_000,
+                                                     seed=6)))
+        ela = to_csr(elasticity_fem(n_points=200_000, seed=7))
+        run_one("fem_elasticity_400k", ela)
+        run_block_spgemm("fem_elasticity_400k", ela)
+        # webbase class at scale: round 4's first-fit packing lifts
+        # power-law fill above the dispatch floor (0.030 vs round 3's
+        # 0.012), so the graph class now takes the segtile kernel too
+        from gen_fixtures import powerlaw_graph
+
+        run_one("graph_powerlaw_1m", to_csr(powerlaw_graph(n=1_000_000,
+                                                           seed=8)))
 
 
 def bench_bell(quick):

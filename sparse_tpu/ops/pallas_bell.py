@@ -246,7 +246,8 @@ class BandedPlan:
 def build_banded_plan(a: BELL, row_tile: int = 8,
                       max_window: int = 64,
                       max_super_window: int = 128,
-                      slot_valid=None) -> "BandedPlan | None":
+                      slot_valid=None,
+                      align_start: bool = False) -> "BandedPlan | None":
     """Plan for matrices whose rows store *consecutive* block columns
     (bands / FEM meshes after BELL layout, where slots are col-sorted with
     zero-padding at the end).  Returns None when some row's valid slots are
@@ -299,22 +300,40 @@ def build_banded_plan(a: BELL, row_tile: int = 8,
     )
     start = big.min(axis=1)
     start[start == np.iinfo(np.int64).max] = 0
+    import math
+
+    lane_q = 128 // math.gcd(bsz, 128)
+    if align_start:
+        # the transposed kernel's operand window offset is start*bsz LANES;
+        # Mosaic requires lane-dim Element offsets divisible by 128, i.e.
+        # start divisible by lane_q (real-compile requirement — jax.export
+        # lowering does NOT catch a violation)
+        start = (start // lane_q) * lane_q
     first[nvalid == 0] = start.repeat(rt)[nvalid == 0]
     W = int((first.reshape(ntiles, rt) - start[:, None]).max()) + Lb
     # lane alignment: the densified tile's trailing dim is W*bsz — keep it a
     # multiple of 128 or Mosaic pads/relayouts every step (measured: W*bsz =
     # 288 ran ~20x slower than 384)
-    import math
-
-    lane_q = 128 // math.gcd(bsz, 128)
     W = -(-W // lane_q) * lane_q
+    if align_start:
+        # clamping to the aligned floor of nb - W can shift a window up to
+        # lane_q - 1 panels left of the unaligned clamp; widen once so every
+        # valid column still lands inside [start, start + W)
+        W += lane_q
+        if W >= nb and nb % lane_q == 0 and nb <= max_window:
+            # small matrix: one whole-operand window covers every column
+            W = nb
+            start[:] = 0
     if W > max_window or W > nb:
         return None
     # clamp each window into [0, nb - W]: the operand is then read unpadded
     # (no per-call pad copy).  Safe: every VALID block's column c satisfies
     # c <= nb - 1, so its densified position (c - start)*bsz stays inside the
     # W-panel window after clamping.
-    start = np.minimum(start, nb - W)
+    if align_start:
+        start = np.minimum(start, ((nb - W) // lane_q) * lane_q)
+    else:
+        start = np.minimum(start, nb - W)
     offs = (first - start.repeat(rt)).astype(np.int32)
     # super-tile grouping: largest S with the group window within budget.
     # Correctness invariant (kernel slices rel*bsz .. rel*bsz + W*bsz of the
@@ -592,15 +611,16 @@ def bell_banded_prepare_t(a: BELL, row_tile: int | None = None,
     returns None when none exists or the pattern is not banded."""
     nb, bsz = a.nb, a.bsz
     if row_tile is None:
-        cands = [rt for rt in (8, 4, 2, 1)
-                 if (rt * bsz) % 128 == 0 and nb % rt == 0]
+        # rt*bsz must be a 128 multiple (the kernel's output minor dim);
+        # a non-dividing rt just pads the plan (tail rows sliced off)
+        cands = [rt for rt in (8, 4, 2, 1) if (rt * bsz) % 128 == 0]
         if not cands:
             return None
         row_tile = cands[0]
     if (row_tile * bsz) % 128:
         return None
     plan = build_banded_plan(a, row_tile=row_tile, max_window=max_window,
-                             slot_valid=slot_valid)
+                             slot_valid=slot_valid, align_start=True)
     if plan is None:
         return None
     dt = jnp.dtype(compute_dtype) if compute_dtype else a.dtype

@@ -51,20 +51,26 @@ __all__ = [
 ]
 
 _LANES = 128
-_TILE_CAP = 100_000  # tiles per pallas_call (SMEM prefetch budget: 2 tables)
-_K = 64  # 8-row tiles per grid step (amortize the ~1 us per-step floor)
+_TILE_CAP = 102_400  # tiles per pallas_call (SMEM prefetch budget: 2 tables)
+_K = 512  # 8-row tiles per grid step at production sizes (see _k_step)
 
 
-def _k_step(rows: int) -> int:
-    """Tiles per grid step: keep the slots/step constant (64 x 1024) across
-    row-block heights."""
-    return max(_K * 8 // rows, 1)
+def _k_step(rows: int, n_real: int = 1 << 30) -> int:
+    """Tiles per grid step.  Bigger steps give the batched two-phase kernel
+    body longer independent-op runs for Mosaic to schedule: measured on the
+    10M-nnz band, 64 -> 128 -> 256 -> 512 tiles/step ran 8.99 -> 8.79 ->
+    8.40 -> 8.24 ms (1024 blows the unrolled-body compile budget).  Small
+    plans keep a 64-tile step so tiny matrices don't pad to 512 inert
+    tiles."""
+    base = _K if n_real >= 4 * _K else 64
+    return max(base * 8 // rows, 1)
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["vals", "q", "seg_of", "rb"],
-    meta_fields=["n", "m", "n_tiles", "fill", "chunks", "wsub", "rows"],
+    meta_fields=["n", "m", "n_tiles", "fill", "chunks", "wsub", "rows",
+                 "kstep"],
 )
 @dataclasses.dataclass(frozen=True)
 class SegTilePlan:
@@ -91,6 +97,7 @@ class SegTilePlan:
     chunks: tuple
     wsub: int = 8
     rows: int = 8
+    kstep: int = 64  # tiles per grid step (baked into chunks/padding)
 
 
 def build_seg_tiles(a: CSR, wsub: int = 8, rows: int = 8,
@@ -303,7 +310,7 @@ def _finish_plan(a, n, m, nnz, wsub, R, pos_src, sub_src, src_index,
     reads ``a.data`` through the sorted entry permutation (``src_index``
     maps pos positions to original entry ids; None = identity).  Ships pos
     + entry ids as int32 (8 B/nnz)."""
-    kstep = _k_step(R)
+    kstep = _k_step(R, n_real)
     slots = R * _LANES
     n_tiles = max(-(-max(n_real, 1) // kstep) * kstep, kstep)
     seg_of = np.zeros(n_tiles, np.int32)
@@ -366,11 +373,12 @@ def _finish_plan(a, n, m, nnz, wsub, R, pos_src, sub_src, src_index,
         chunks=chunks,
         wsub=wsub,
         rows=R,
+        kstep=kstep,
     )
 
 
 def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
-                     *, reduce: str = "vpu", batch: int = 64,
+                     *, reduce: str = "vpu", batch: int | None = None,
                      interpret: bool = False) -> jax.Array:
     """SpMV via the segment-tile kernel; matches ``csr_smvm`` up to float
     summation order.  ``plan`` from :func:`build_seg_tiles` (value-bound:
@@ -394,7 +402,9 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
         return jnp.zeros((0,), out_dtype)
     wsub = plan.wsub
     R = plan.rows
-    kstep = _k_step(R)
+    kstep = plan.kstep
+    if batch is None:
+        batch = kstep  # full two-phase split (measured best)
     # resident operand: whole vector as sublane rows, +wsub zero rows so any
     # in-range window base reads without clamping
     s_rows = -(-max(m, 1) // _LANES) + wsub
