@@ -70,7 +70,12 @@ def main():
         jax.block_until_ready(kit.tiles_t)
         print(f"prepare_t: rt={kit.plan.rt} W={kit.plan.W} "
               f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
-        bt0 = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.01)
+        print(f"  S={kit.plan.S} SW={kit.plan.SW}", file=sys.stderr)
+        n_pad = int(kit.plan.offs.shape[0]) * bsz
+        # chain in PADDED transposed space: (k, n_pad) feeds back directly
+        bt0 = jnp.asarray(
+            np.pad(rng.standard_normal((k, n)).astype(np.float32) * 0.01,
+                   ((0, 0), (0, n_pad - n))))
 
         @jax.jit
         def chain(a, bt, kit):

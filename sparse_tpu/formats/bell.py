@@ -166,8 +166,22 @@ def bell_spmm(a: BELL, b: jax.Array, *, prefer_pallas: bool | None = None,
         prefer_pallas = jax.default_backend() == "tpu"
     if prefer_pallas:
         if plan is not None:
-            from ..ops.pallas_bell import BandedKit, bell_spmm_pallas_banded
+            from ..ops.pallas_bell import (
+                BandedKit,
+                BandedKitT,
+                bell_spmm_pallas_banded,
+                bell_spmm_pallas_banded_t,
+            )
 
+            if isinstance(plan, BandedKitT):
+                # small-k transposed kernel (k < 128 stops paying 128-lane
+                # padding); this one-shot wrapper pays two n*k transposes —
+                # iterative callers should chain bell_spmm_pallas_banded_t
+                # in transposed space directly
+                ct = bell_spmm_pallas_banded_t(
+                    a, b.T, plan, precision=precision
+                )
+                return ct.T.astype(out_dtype)
             if isinstance(plan, BandedKit):
                 return bell_spmm_pallas_banded(
                     a, b, plan.plan, tiles=plan.tiles,

@@ -267,7 +267,11 @@ def build_banded_plan(a: BELL, row_tile: int = 8,
     rt = max(1, row_tile)
     if nb == 0 or Lb == 0:
         return None
-    nb_pad = -(-nb // rt) * rt
+    # aligned plans pad the tile count to a multiple of 8 so the super-tile
+    # grouping always has a dividing candidate (e.g. rt=4 on the bench band
+    # gives a prime 3907 tiles otherwise); pad tiles are empty rows
+    nb_pad = (-(-nb // (rt * 8)) * (rt * 8) if align_start
+              else -(-nb // rt) * rt)
     ntiles = nb_pad // rt
     cols_h = np.zeros((nb_pad, Lb), np.int64)
     cols_h[:nb] = np.asarray(a.cols)
@@ -299,7 +303,18 @@ def build_banded_plan(a: BELL, row_tile: int = 8,
         ntiles, rt
     )
     start = big.min(axis=1)
-    start[start == np.iinfo(np.int64).max] = 0
+    empty = start == np.iinfo(np.int64).max
+    if empty.any():
+        if empty.all():
+            start[:] = 0
+        else:
+            # empty tiles (padding, empty row blocks) follow their nearest
+            # non-empty neighbour instead of 0: a 0 start in the tail group
+            # blows the super-tile window span to ~nb (observed: pad tiles
+            # forced S=1 on the bench band)
+            nz = np.flatnonzero(~empty)
+            idx = np.searchsorted(nz, np.arange(ntiles), side="right") - 1
+            start = start[nz[np.clip(idx, 0, nz.size - 1)]]
     import math
 
     lane_q = 128 // math.gcd(bsz, 128)
@@ -316,23 +331,26 @@ def build_banded_plan(a: BELL, row_tile: int = 8,
     # 288 ran ~20x slower than 384)
     W = -(-W // lane_q) * lane_q
     if align_start:
-        # clamping to the aligned floor of nb - W can shift a window up to
-        # lane_q - 1 panels left of the unaligned clamp; widen once so every
-        # valid column still lands inside [start, start + W)
-        W += lane_q
-        if W >= nb and nb % lane_q == 0 and nb <= max_window:
-            # small matrix: one whole-operand window covers every column
-            W = nb
-            start[:] = 0
-    if W > max_window or W > nb:
-        return None
-    # clamp each window into [0, nb - W]: the operand is then read unpadded
-    # (no per-call pad copy).  Safe: every VALID block's column c satisfies
-    # c <= nb - 1, so its densified position (c - start)*bsz stays inside the
-    # W-panel window after clamping.
-    if align_start:
-        start = np.minimum(start, ((nb - W) // lane_q) * lane_q)
+        # aligned starts cannot in general satisfy start + W <= nb when nb
+        # is not lane_q-aligned (start = nb - W would be unaligned), so the
+        # transposed kernel reads a PADDED operand of nb_pad panels —
+        # nb_pad = ntiles*rt is a lane_q multiple (rt*bsz % 128 == 0
+        # implies lane_q | rt) and equals the kernel's padded OUTPUT
+        # length, so chained calls feed C^T straight back.  Clamping to
+        # nb_pad - W keeps coverage exact: start_c + W = nb_pad >= nb for
+        # every clamped tile, and offs + Lb <= W always.
+        if W > nb_pad:
+            W = nb_pad  # tiny matrix: one whole-operand window
+        if W > max_window:
+            return None
+        start = np.minimum(start, nb_pad - W)
     else:
+        if W > max_window or W > nb:
+            return None
+        # clamp each window into [0, nb - W]: the operand is then read
+        # unpadded (no per-call pad copy).  Safe: every VALID block's column
+        # c satisfies c <= nb - 1, so its densified position (c - start)*bsz
+        # stays inside the W-panel window after clamping.
         start = np.minimum(start, nb - W)
     offs = (first - start.repeat(rt)).astype(np.int32)
     # super-tile grouping: largest S with the group window within budget.
@@ -342,6 +360,10 @@ def build_banded_plan(a: BELL, row_tile: int = 8,
     S, SW = 1, W
     sup = start.copy()
     rel = np.zeros(ntiles, np.int64)
+    # aligned plans clamp into the rt-padded panel range (see above); sup
+    # and rel stay lane_q multiples automatically (min/differences of
+    # aligned values), which the transposed kernel's lane slices require
+    limit = nb_pad if align_start else nb
     for cand in (8, 5, 4, 3, 2):
         if ntiles % cand:
             continue
@@ -349,10 +371,10 @@ def build_banded_plan(a: BELL, row_tile: int = 8,
         sup_c = g.min(axis=1)
         span = int((g - sup_c[:, None]).max()) + W
         SW_c = -(-span // lane_q) * lane_q
-        if SW_c > max_super_window or SW_c > nb:
+        if SW_c > max_super_window or SW_c > limit:
             continue
         S, SW = cand, SW_c
-        sup = np.minimum(sup_c, nb - SW)
+        sup = np.minimum(sup_c, limit - SW)
         rel = start - sup.repeat(cand)
         break
     return BandedPlan(
@@ -379,7 +401,7 @@ def _densify_band_tiles(a: BELL, plan: "BandedPlan", stream_dtype):
     """
     nb, bsz, Lb = a.nb, a.bsz, a.Lb
     W, rt = plan.W, plan.rt
-    nb_pad = -(-nb // rt) * rt
+    nb_pad = plan.offs.shape[0]  # rt- (and, for aligned plans, S-) padded
     wide = jnp.swapaxes(a.blocks, 1, 2).reshape(nb, bsz, Lb * bsz)
     if nb_pad != nb:
         wide = jnp.concatenate(
@@ -433,7 +455,7 @@ def bell_spmm_pallas_banded(a: BELL, b: jax.Array, plan: "BandedPlan", *,
     if a.n == 0 or Lb == 0 or k == 0:
         return jnp.zeros((a.n, k), out_dtype)
     W, rt = plan.W, plan.rt
-    nb_pad = -(-nb // rt) * rt
+    nb_pad = plan.offs.shape[0]
     ntiles = nb_pad // rt
     stream_dtype = jnp.dtype(compute_dtype) if compute_dtype else out_dtype
     if tiles is None:
@@ -609,14 +631,17 @@ def bell_banded_prepare_t(a: BELL, row_tile: int | None = None,
     ``row_tile=None`` picks the largest rt <= 8 with ``rt*bsz`` a multiple
     of 128 dividing nb (the kernel's output minor dim must be 128-aligned);
     returns None when none exists or the pattern is not banded."""
+    import math
+
     nb, bsz = a.nb, a.bsz
     if row_tile is None:
-        # rt*bsz must be a 128 multiple (the kernel's output minor dim);
-        # a non-dividing rt just pads the plan (tail rows sliced off)
-        cands = [rt for rt in (8, 4, 2, 1) if (rt * bsz) % 128 == 0]
-        if not cands:
-            return None
-        row_tile = cands[0]
+        # rt*bsz must be a 128 multiple (the kernel's output minor dim); a
+        # non-dividing rt just pads the plan (tail rows sliced off).  The
+        # SMALLEST such rt wins: the window width W grows ~linearly with rt
+        # (more rows per tile -> wider band span) and the densified tiles —
+        # nb*bsz x W*bsz values, the dominant traffic — scale with W
+        # (measured: rt=8 ballooned W 12 -> 20 on the bench band).
+        row_tile = 128 // math.gcd(bsz, 128)
     if (row_tile * bsz) % 128:
         return None
     plan = build_banded_plan(a, row_tile=row_tile, max_window=max_window,
@@ -631,13 +656,13 @@ def bell_banded_prepare_t(a: BELL, row_tile: int | None = None,
 def banded_spmm_t_hbm_bytes(kit: "BandedKitT", bsz: int, n: int, k: int,
                             out_itemsize: int = 4) -> int:
     """Actual HBM bytes of one transposed-banded SpMM: tiles once, one
-    (k, W*bsz) window per step, C^T once."""
+    shared (k, SW*bsz) window per super-step (or (k, W*bsz) per tile when
+    S == 1), C^T once."""
     plan = kit.plan
     esz = jnp.dtype(kit.tiles_t.dtype).itemsize
     ntiles = kit.tiles_t.shape[0]
-    W = plan.W
-    return (kit.tiles_t.size * esz + ntiles * k * W * bsz * esz
-            + n * k * out_itemsize)
+    window_bytes = (ntiles // plan.S) * k * plan.SW * bsz * esz
+    return kit.tiles_t.size * esz + window_bytes + n * k * out_itemsize
 
 
 def bell_spmm_pallas_banded_t(a: BELL, bt: jax.Array, kit: "BandedKitT", *,
@@ -649,23 +674,82 @@ def bell_spmm_pallas_banded_t(a: BELL, bt: jax.Array, kit: "BandedKitT", *,
     transposed space to amortize the layout; ``bell_spmm`` wraps the
     transposes for one-shot calls."""
     bt = jnp.asarray(bt)
-    if bt.ndim != 2 or bt.shape[1] != a.n:
-        raise ValueError(
-            f"bell_spmm_pallas_banded_t: operand shape {bt.shape} != (k, {a.n})"
-        )
-    k = bt.shape[0]
     nb, bsz = a.nb, a.bsz
     plan, tiles_t = kit.plan, kit.tiles_t
     W, rt = plan.W, plan.rt
+    nb_pad = plan.offs.shape[0]
+    n_pad = nb_pad * bsz
+    if bt.ndim != 2 or bt.shape[1] not in (a.n, n_pad):
+        raise ValueError(
+            f"bell_spmm_pallas_banded_t: operand shape {bt.shape} != "
+            f"(k, {a.n}) or (k, {n_pad})"
+        )
+    k = bt.shape[0]
     out_dtype = jnp.result_type(a.dtype, bt.dtype)
     if a.n == 0 or a.Lb == 0 or k == 0:
-        return jnp.zeros((k, a.n), out_dtype)
-    nb_pad = -(-nb // rt) * rt
-    ntiles = nb_pad // rt
+        return jnp.zeros((k, n_pad), out_dtype)
     stream_dtype = tiles_t.dtype
     btt = bt.astype(stream_dtype)
+    if btt.shape[1] != n_pad:
+        # windows are clamped into the rt-padded panel range; the padded
+        # output (k, n_pad) feeds back directly in chained calls
+        btt = jnp.pad(btt, ((0, 0), (0, n_pad - btt.shape[1])))
+        padded_in = False
+    else:
+        padded_in = bt.shape[1] == n_pad
+    ntiles = nb_pad // rt
     prec = _resolve_precision(precision, stream_dtype)
     esz = jnp.dtype(stream_dtype).itemsize
+
+    S, SW = plan.S, plan.SW
+    # super-tile path: S row tiles per grid step share one SW-panel operand
+    # window — without it the per-tile window re-reads scale with k and the
+    # kernel loses to the standard super-tile kernel at k >= 64 (measured)
+    if S > 1 and SW * bsz * k * esz <= 6 * 1024 * 1024 and not (ntiles % S):
+
+        def kernel_super(rel_ref, sup_ref, t_ref, win_ref, o_ref):
+            t = pl.program_id(0)
+            for s in range(S):
+                # rel is a lane_q multiple by plan construction; multiple_of
+                # makes the 128-divisibility provable to Mosaic
+                off = pl.multiple_of(rel_ref[t * S + s] * bsz, 128)
+                w = win_ref[:, pl.ds(off, W * bsz)]
+                o_ref[:, s * rt * bsz:(s + 1) * rt * bsz] = _tile_dot(
+                    w, t_ref[s], o_ref.dtype, prec
+                )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(ntiles // S,),
+            in_specs=[
+                pl.BlockSpec(
+                    (S, W * bsz, rt * bsz), lambda t, rel, sup: (t, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (pl.Element(k), pl.Element(SW * bsz)),
+                    lambda t, rel, sup: (
+                        0, pl.multiple_of(sup[t] * bsz, 128)
+                    ),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (k, S * rt * bsz), lambda t, rel, sup: (0, t)
+            ),
+        )
+        out = pl.pallas_call(
+            kernel_super,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((k, nb_pad * bsz), out_dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * ntiles * k * W * bsz * rt * bsz,
+                bytes_accessed=ntiles * W * bsz * rt * bsz * esz
+                + (ntiles // S) * k * SW * bsz * esz
+                + nb_pad * bsz * k * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(plan.rel, plan.sup, tiles_t, btt)
+        return out if padded_in else out[:, : a.n]
 
     def kernel(start_ref, t_ref, win_ref, o_ref):
         o_ref[...] = _tile_dot(win_ref[...], t_ref[0], o_ref.dtype, prec)
@@ -675,11 +759,15 @@ def bell_spmm_pallas_banded_t(a: BELL, bt: jax.Array, kit: "BandedKitT", *,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((1, W * bsz, rt * bsz), lambda t, start: (t, 0, 0)),
-            # element-offset window: lane offset start[t]*bsz into B^T
-            # (arbitrary DMA offsets; all dims Element per Mosaic)
+            # element-offset window: lane offset start[t]*bsz into B^T.
+            # starts are lane_q-aligned by the planner (align_start=True),
+            # but Mosaic's window-param check needs the 128-divisibility
+            # PROVABLE in the index expression itself — hence multiple_of
+            # (without it: "Couldn't prove that tiling (128) divides index"
+            # at real compile; jax.export lowering does not catch it)
             pl.BlockSpec(
                 (pl.Element(k), pl.Element(W * bsz)),
-                lambda t, start: (0, start[t] * bsz),
+                lambda t, start: (0, pl.multiple_of(start[t] * bsz, 128)),
             ),
         ],
         out_specs=pl.BlockSpec((k, rt * bsz), lambda t, start: (0, t)),
@@ -696,7 +784,9 @@ def bell_spmm_pallas_banded_t(a: BELL, bt: jax.Array, kit: "BandedKitT", *,
         ),
         interpret=interpret,
     )(plan.start, tiles_t, btt)
-    return out if nb_pad == nb else out[:, : a.n]
+    # a padded operand gets the padded output back (chain idiom); an
+    # unpadded one gets (k, n)
+    return out if padded_in else out[:, : a.n]
 
 
 def bell_banded_prepare(a: BELL, row_tile: int | None = None,

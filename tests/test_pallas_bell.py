@@ -250,9 +250,16 @@ def test_pallas_spmm_banded_t_fallbacks_and_lowering():
         bell_spmm_pallas_banded_t,
     )
 
-    # bsz=8: no rt <= 8 makes rt*bsz a 128 multiple -> None
-    a8, _ = banded_bell(16, 8, 1, seed=2)
-    assert bell_banded_prepare_t(a8) is None
+    # bsz=8: the minimal 128-lane tile height is rt=16
+    a8, x8 = banded_bell(16, 8, 1, seed=2)
+    kit8 = bell_banded_prepare_t(a8)
+    assert kit8 is not None and kit8.plan.rt == 16
+    b8 = np.random.default_rng(1).standard_normal((a8.n, 32)).astype(
+        np.float32)
+    ct8 = bell_spmm_pallas_banded_t(a8, jnp.asarray(b8.T), kit8,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(ct8).T, x8 @ b8, rtol=2e-4,
+                               atol=2e-4)
     # non-banded pattern -> None (build_banded_plan rejects)
     a, x = banded_bell(16, 32, 1, seed=4)
     kit = bell_banded_prepare_t(a)
@@ -266,3 +273,25 @@ def test_pallas_spmm_banded_t_fallbacks_and_lowering():
     assert "tpu_custom_call" in exported.mlir_module()
     with pytest.raises(ValueError, match="operand shape"):
         bell_spmm_pallas_banded_t(a, bt[:, :-1], kit)
+
+
+def test_bell_spmm_dispatches_banded_t_kit():
+    """bell_spmm(plan=BandedKitT) takes the small-k transposed kernel and
+    returns the standard (n, k) layout."""
+    from unittest import mock
+
+    import sparse_tpu.formats.bell as fb
+    import sparse_tpu.ops.pallas_bell as pb
+
+    a, x = banded_bell(24, 32, 1, seed=5)
+    kit = pb.bell_banded_prepare_t(a)
+    assert kit is not None
+    orig = pb.bell_spmm_pallas_banded_t
+    spy = mock.Mock(side_effect=lambda a_, bt, k_, **kw: orig(
+        a_, bt, k_, interpret=True, **kw))
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal((a.n, 32)).astype(np.float32)
+    with mock.patch.object(pb, "bell_spmm_pallas_banded_t", spy):
+        out = fb.bell_spmm(a, jnp.asarray(b), prefer_pallas=True, plan=kit)
+    assert spy.called
+    np.testing.assert_allclose(np.asarray(out), x @ b, rtol=2e-4, atol=2e-4)
