@@ -1,0 +1,110 @@
+"""Chip measurement: what bounds `bsr_smsmm_apply`?
+
+The numeric block-SpGEMM pass is three stages: gather both factors'
+blocks, batched (bsz,bsz,bsz) einsum on the MXU, pre-sorted segment-sum
+into the output blocks.  This times each stage in isolation (chained
+protocol) at the suite's 181k-block-product size so the roofline
+statement in docs/performance.md is measured, not guessed.
+
+Usage: python measure_bsr_spgemm_parts.py
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from sparse_tpu.formats.bsr import BSR, bsr_smsmm_prepare
+from sparse_tpu.ops.segmented import INDEX_DTYPE, segment_sum
+from sparse_tpu.utils.precision import matmul_precision
+
+K_CHAIN = 5
+BSZ = 32
+
+
+def build(nb=2_000):
+    rng = np.random.default_rng(9)
+    per_row = 10
+    rows = np.repeat(np.arange(nb, dtype=np.int64), per_row)
+    cols = np.clip(rows + rng.integers(-50, 50, rows.size), 0, nb - 1)
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    keep = np.ones(rows.size, bool)
+    keep[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+    rows, cols = rows[keep], cols[keep]
+    pool = rng.standard_normal((257, BSZ, BSZ)).astype(np.float32) * 0.01
+    return BSR(
+        indices=jnp.asarray(rows * nb + cols, INDEX_DTYPE),
+        blocks=jnp.asarray(pool[np.arange(rows.size) % 257]),
+        n=nb * BSZ,
+        bsz=BSZ,
+    )
+
+
+def timed(fn, *args):
+    @jax.jit
+    def chain(x, *ops):
+        def body(_, x):
+            return fn(x, *ops)
+
+        return jnp.sum(jax.lax.fori_loop(0, K_CHAIN, body, x))
+
+    float(chain(*args))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best / K_CHAIN
+
+
+def main():
+    a = build()
+    plan = bsr_smsmm_prepare(a, a)
+    F = plan.n_products
+    nbz_out = plan.nbz_out
+    print(f"F={F} block products, nbz_out={nbz_out}", file=sys.stderr)
+    flops = 2 * F * BSZ ** 3
+    prec = matmul_precision(a.dtype, a.dtype)
+
+    # (1) gathers only: both factor streams, summed to keep them live
+    t = timed(
+        lambda blocks, ap, bp: blocks
+        * (1.0 + 1e-30 * (jnp.sum(blocks[ap]) + jnp.sum(blocks[bp]))),
+        a.blocks, plan.a_pos, plan.b_pos,
+    )
+    print(f"gathers only: {t*1e3:.2f} ms "
+          f"({2*F*BSZ*BSZ*4/t/1e9:.1f} GB/s gathered)")
+
+    # (2) einsum only on PRE-gathered contiguous streams (no gather)
+    ga = a.blocks[plan.a_pos]
+    gb = a.blocks[plan.b_pos]
+    jax.block_until_ready(gb)
+    t = timed(
+        lambda ga, gb: ga * (1.0 + 1e-30 * jnp.sum(jnp.einsum(
+            "fij,fjk->fik", ga, gb, preferred_element_type=jnp.float32,
+            precision=prec))),
+        ga, gb,
+    )
+    print(f"einsum only: {t*1e3:.2f} ms ({flops/t/1e9:.1f} GFLOP/s)")
+
+    # (3) segment-sum only on a precomputed product stream
+    prods = jnp.einsum("fij,fjk->fik", ga, gb,
+                       preferred_element_type=jnp.float32, precision=prec)
+    jax.block_until_ready(prods)
+    t = timed(
+        lambda prods, seg: prods * (1.0 + 1e-30 * jnp.sum(segment_sum(
+            prods, seg, nbz_out, indices_are_sorted=True))),
+        prods, plan.seg,
+    )
+    print(f"segment-sum only: {t*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -293,13 +293,23 @@ def bench_real_matrices(quick):
         )
         from sparse_tpu.ops.spgemm import _spgemm_route
 
+        from sparse_tpu.formats.bsr import BSR_MAX_NB
+
         bsz, fill = detect_block_size(a)
         emit(f"{tag}_detected_bsz", bsz, "bsz")
         route, rbsz = _spgemm_route(a, a)
+        if bsz >= 2 and a.shape[0] // bsz > BSR_MAX_NB:
+            # BSR's int32 flattened block coordinates cap nb at 46340: a
+            # 400k-row matrix at bsz=2 cannot re-block single-device —
+            # shard via sparse_tpu.parallel instead (documented bound)
+            assert route != "block"
+            emit(f"{tag}_block_route", 0, "nb exceeds BSR int32 limit")
+            return
         assert route == "block" and rbsz == bsz, (
             f"{tag}: expected the auto dispatcher to pick the block route, "
             f"got {route}"
         )
+        emit(f"{tag}_block_route", 1, "auto")
         if not on_tpu:
             return
         ab = csr_to_bsr(a, bsz)
@@ -307,12 +317,13 @@ def bench_real_matrices(quick):
         bplan = bsr_smsmm_prepare(ab, ab)
         emit(f"{tag}_block_spgemm_prepare_s", time.perf_counter() - t0, "s")
         flops = 2 * bplan.n_products * bsz ** 3
-        t = timed_chain(
-            lambda blocks, plan, a: bsr_smsmm_apply(
-                plan, BSR(indices=a.indices, blocks=blocks, n=a.n,
-                          bsz=a.bsz), a).blocks,
-            ab.blocks, bplan, ab,
-        )
+
+        def bstep(blocks, plan, a):
+            a2 = BSR(indices=a.indices, blocks=blocks, n=a.n, bsz=a.bsz)
+            c = bsr_smsmm_apply(plan, a2, a2)
+            return blocks * (1.0 + 1e-30 * jnp.sum(c.blocks))
+
+        t = timed_chain(bstep, ab.blocks, bplan, ab)
         emit(f"{tag}_block_spgemm_apply_gflops", flops / t / 1e9, "GFLOP/s")
         # scalar prepared baseline on the same pattern
         from sparse_tpu.ops.spgemm import spgemm_apply, spgemm_prepare
@@ -321,12 +332,14 @@ def bench_real_matrices(quick):
         splan = spgemm_prepare(a, a)
         emit(f"{tag}_scalar_spgemm_prepare_s", time.perf_counter() - t0, "s")
         sflops = 2 * splan.n_products
-        t = timed_chain(
-            lambda data, plan, a: spgemm_apply(
-                plan, CSR(data=data, indices=a.indices, indptr=a.indptr,
-                          shape=a.shape), a).data,
-            a.data, splan, a,
-        )
+
+        def sstep(data, plan, a):
+            a2 = CSR(data=data, indices=a.indices, indptr=a.indptr,
+                     shape=a.shape)
+            c = spgemm_apply(plan, a2, a2)
+            return data * (1.0 + 1e-30 * jnp.sum(c.data))
+
+        t = timed_chain(sstep, a.data, splan, a)
         emit(f"{tag}_scalar_spgemm_apply_gflops", sflops / t / 1e9,
              "GFLOP/s")
 
@@ -438,6 +451,34 @@ def bench_bell(quick):
             hbm = banded_spmm_hbm_bytes(plan, bsz, n, k) / t / 1e9
             emit(f"bell_spmm_k{k}_hbm_bw", hbm, "GB/s",
                  hbm / MEASURED_CEILING_GBPS)
+
+    # small-k production path (round 4): the transposed super-tiled kernel —
+    # at k < 128 the standard kernel's sub-128 minor dims get lane-padded
+    # and k=32/64 pay k=128's time; the kt kernel keeps n on the minor dim
+    # and chains in transposed space (docs/performance.md)
+    if jax.default_backend() == "tpu":
+        from sparse_tpu.ops.pallas_bell import (
+            banded_spmm_t_hbm_bytes,
+            bell_banded_prepare_t,
+            bell_spmm_pallas_banded_t,
+        )
+
+        kit_t = bell_banded_prepare_t(a, slot_valid=slot_valid)
+        if kit_t is not None:
+            n_pad = int(kit_t.plan.offs.shape[0]) * bsz
+            for k in (32, 64):
+                bt0 = jnp.asarray(np.pad(
+                    (rng.standard_normal((k, n)) * 0.01).astype(np.float32),
+                    ((0, 0), (0, n_pad - n))))
+                t = timed_chain(
+                    lambda bt, a, kit: bell_spmm_pallas_banded_t(a, bt, kit),
+                    bt0, a, kit_t,
+                )
+                hbm = banded_spmm_t_hbm_bytes(kit_t, bsz, n, k) / t / 1e9
+                emit(f"bell_spmm_k{k}_kt_gflops", 2 * nnz * k / t / 1e9,
+                     "GFLOP/s")
+                emit(f"bell_spmm_k{k}_kt_hbm_bw", hbm, "GB/s",
+                     hbm / MEASURED_CEILING_GBPS)
 
     # precision ladder at k=128: the f32 default (HIGHEST = 6-pass bf16 on
     # the MXU) pays ~half the iteration in matmul passes at this size;
@@ -780,12 +821,15 @@ def bench_weak_scaling(quick):
 
 if __name__ == "__main__":
     quick = "--quick" in sys.argv
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
     # sections are independent: a failure (tunnel hiccup, compile error)
     # reports and moves on instead of killing the remaining metrics
     for section in (bench_csr, bench_csr_segtile, bench_reorder,
                     bench_real_matrices, bench_bell, bench_bell_accuracy,
                     bench_spgemm, bench_spgemm_prepared, bench_bsr_spgemm,
                     bench_distributed, bench_weak_scaling):
+        if only and not any(o in section.__name__ for o in only):
+            continue
         try:
             if section in (bench_distributed,):
                 section()

@@ -143,6 +143,12 @@ class BSR:
         return bsr_nnz(self)
 
 
+BSR_MAX_NB = 46340
+"""Largest blocks-per-dimension whose flattened coordinates r*nb+c fit
+int32 (the TPU-native index width); dispatchers must respect it when
+choosing a re-blocking bsz."""
+
+
 def _check_divides(n: int, bsz: int) -> None:
     # mirrors ERROR_block_size_must_divide_n (blocked_square_regular.fut:175,196)
     if n % bsz != 0:
@@ -150,7 +156,7 @@ def _check_divides(n: int, bsz: int) -> None:
     nb = n // bsz
     # flattened block coordinates r*nb+c live in int32 (TPU-native index
     # width); guard the representable range explicitly
-    if nb > 46340:
+    if nb > BSR_MAX_NB:
         raise ValueError(
             f"BSR supports at most 46340 blocks per dimension in int32 "
             f"(got {nb} = {n}/{bsz}); use a larger block size or shard the "

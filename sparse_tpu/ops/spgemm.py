@@ -267,10 +267,14 @@ def _spgemm_route(a: CSR, b_rows: CSR,
         nnz_a = int(np.asarray(a.indptr)[-1])
         nnz_b = int(np.asarray(b_rows.indptr)[-1])
         if min(nnz_a, nnz_b) >= _BLOCK_ROUTE_MIN_NNZ:
+            from ..formats.bsr import BSR_MAX_NB
             from ..utils.stats import csr_block_fill
 
             for bsz in _BLOCK_ROUTE_CANDIDATES:
-                if n % bsz:
+                # nb must also fit BSR's int32 flattened block coordinates
+                # (n=400k at bsz=2 would overflow; shard such problems via
+                # sparse_tpu.parallel instead)
+                if n % bsz or n // bsz > BSR_MAX_NB:
                     continue
                 if (csr_block_fill(a, bsz) == 1.0
                         and csr_block_fill(b_rows, bsz) == 1.0):
