@@ -253,14 +253,22 @@ def bench_real_matrices(quick):
         bw0 = csr_bandwidth(a)
         ap, perm = reorder_for_locality(a)
         emit(f"{tag}_rcm_bw_reduction", bw0 / max(csr_bandwidth(ap), 1), "x")
-        plan = build_seg_tiles(ap, wsub="auto")
-        emit(f"{tag}_segtile_fill", plan.fill, "ratio")
+        try:
+            plan = build_seg_tiles(ap, wsub="auto")
+            emit(f"{tag}_segtile_fill", plan.fill, "ratio")
+        except ValueError:
+            # tile count overflows int32 slot positions: the dispatcher's
+            # documented XLA fallback (fill would be << the floor)
+            plan = None
+            emit(f"{tag}_segtile_fill", 0, "rejected: tile overflow")
         if not on_tpu:
             return
         v0 = jnp.asarray(rng.standard_normal(m).astype(np.float32))
         px = build_spmv_plan(a)
         t = timed_chain(lambda v, a, p: csr_smvm_fast(a, v, p), v0, a, px)
         emit(f"{tag}_spmv_xla_nnzps", nnz / t / 1e9, "Gnnz/s")
+        if plan is None:
+            return
         # the segtile kernel only wins above its fill floor (pallas_csr
         # dispatch); report it regardless so off-family threshold checks
         # have data, flagged by the fill metric above

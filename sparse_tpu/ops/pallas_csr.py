@@ -624,6 +624,11 @@ def csr_smvm_auto(a: CSR, v: jax.Array,
             except jax.errors.TracerArrayConversionError:
                 plan = None  # inside jit without a plan: use the XLA path
                 eager = False
+            except ValueError:
+                # pattern so dispersed the tile count overflows int32 slot
+                # positions (e.g. a scrambled 1M-row power-law graph): the
+                # fill would be far below the floor anyway — XLA path
+                plan = None
         if plan is not None and plan.fill >= _MIN_FILL:
             return csr_smvm_segtile(a, v, plan)
     if on_tpu and eager:
