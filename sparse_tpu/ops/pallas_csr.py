@@ -21,7 +21,9 @@ entries:
 * Lane conflicts (two entries of one row with equal ``c % 128`` inside the
   same window) spill into extra tiles for the same (row block, window).
 
-Cost: ~3 VPU ops per 8 slots and 5 B/slot of HBM traffic, paying only the
+Cost: ~46-60 ns per (8,128) slot vreg (measured — the per-vreg issue cost
+is the wall; slices, RMWs, selects and the lane-reduce all measured as
+non-bottlenecks individually) and 5 B/slot of HBM traffic, paying the
 tile fill ratio (pattern-dependent, reported as ``plan.fill``) over the
 ideal 4 B/nnz — vs 7 ns/nnz flat for XLA.  The plan (:class:`SegTilePlan`)
 is static per pattern; apply is fully jit-compatible.  Capacity: operand +
@@ -117,12 +119,12 @@ def build_seg_tiles(a: CSR, wsub: int = 8, rows: int = 8,
     ``wsub`` (8, 16, or 32) trades per-tile gather cost for tile count:
     wider windows pack patterns whose row blocks span more than
     ``wsub*128`` columns into fewer, fuller tiles (e.g. a +-1000 band at 20
-    nnz/row measures fill 0.036 at wsub=8; the block's ~2000-column span
-    fits one wsub=16 window).  ``wsub="auto"`` builds the cheap symbolic
-    sweep for all three and widens only when it cuts tiles by >= 1.7x per
-    doubling (the per-tile gather decomposition costs one extra native
-    gather + select per 8-sublane chunk, so a smaller reduction could lose
-    — provisional until per-wsub rates are measured on-chip).
+    nnz/row measures fill 0.045 at wsub=8 under first-fit; the block's
+    ~2000-column span fits one wsub=16 window at fill 0.066).
+    ``wsub="auto"`` builds the cheap symbolic sweep for all three and
+    widens when it cuts tiles by >= 1.2x per doubling — the measured
+    per-vreg cost is ~46 ns + ~8.7 ns per extra 8-sublane gather chunk
+    (docs/performance.md, round 4).
 
     ``rows`` (8 or 32): row-block height.  32 packs 4 VPU vregs per tile
     sharing one window slice and one output RMW; measured on the 10M-nnz

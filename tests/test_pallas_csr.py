@@ -175,9 +175,11 @@ def test_segtile_auto_window_height():
     # very wide band (blocks span ~16k columns): each doubling of the window
     # cuts tiles ~2x, so auto widens; moderate/narrow bands stay at 8
     rng = np.random.default_rng(71)
-    n = m = 32768
+    # sized so the wide band spans many windows but the interpret-mode
+    # kernel (cost ~ tile count) stays cheap
+    n = m = 8192
     rows = np.repeat(np.arange(n, dtype=np.int64), 10)
-    cols = np.clip(rows + rng.integers(-8000, 8000, rows.size), 0, m - 1)
+    cols = np.clip(rows + rng.integers(-4000, 4000, rows.size), 0, m - 1)
     A = sp.coo_matrix((rng.standard_normal(rows.size), (rows, cols)),
                       shape=(n, m)).tocsr()
     A.sum_duplicates()
@@ -187,10 +189,10 @@ def test_segtile_auto_window_height():
     pa = build_seg_tiles(a, wsub="auto")
     p8 = build_seg_tiles(a, wsub=8)
     assert pa.wsub > 8 and pa.n_tiles < p8.n_tiles
-    x = rng.standard_normal(m).astype(np.float32)
-    got = np.asarray(csr_smvm_segtile(a, jnp.asarray(x), pa, interpret=True))
-    np.testing.assert_allclose(got, A @ x, rtol=2e-5, atol=2e-5)
-    # narrow band: widening saves < 1.7x per doubling, stay at 8
+    # kernel execution at wide windows is covered by
+    # test_segtile_wide_windows_match — interpret-mode cost scales with
+    # tile count and would dominate the suite here
+    # narrow band: widening saves < 1.2x per doubling, stay at 8
     cols2 = np.clip(rows + rng.integers(-400, 400, rows.size), 0, m - 1)
     B = sp.coo_matrix((rng.standard_normal(rows.size), (rows, cols2)),
                       shape=(n, m)).tocsr()
@@ -259,7 +261,7 @@ def test_segtile_first_fit_native_matches_python():
     reference; fewer or equal tiles vs the rigid layout; kernel agrees."""
     from sparse_tpu.native import plansort
 
-    a, A = random_csr(300, 2600, 5000, seed=12)
+    a, A = random_csr(300, 2600, 2500, seed=12)
     indptr = np.asarray(a.indptr)
     cols = np.asarray(a.indices)[: int(indptr[-1])]
     for wsub in (8, 16):
@@ -274,6 +276,24 @@ def test_segtile_first_fit_native_matches_python():
     assert pf.n_tiles <= pr.n_tiles
     x = np.random.default_rng(0).standard_normal(2600).astype(np.float32)
     got = np.asarray(csr_smvm_segtile(a, jnp.asarray(x), pf, interpret=True))
-    ref = np.asarray(csr_smvm_segtile(a, jnp.asarray(x), pr, interpret=True))
     np.testing.assert_allclose(got, A @ x, rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(ref, A @ x, rtol=2e-5, atol=2e-5)
+
+
+def test_smvm_auto_falls_back_on_tile_overflow(monkeypatch):
+    """A pattern whose tile count overflows int32 slot positions must fall
+    back to the XLA path inside csr_smvm_auto (1M-row scrambled power-law
+    class), not raise."""
+    import sparse_tpu.ops.pallas_csr as pc
+
+    a, A = random_csr(64, 2048, 600, seed=4)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(2048)
+                    .astype(np.float32))
+
+    def boom(*args, **kw):
+        raise ValueError("build_seg_tiles: tiles overflow int32")
+
+    monkeypatch.setattr(pc, "build_seg_tiles", boom)
+    monkeypatch.setattr(pc.jax, "default_backend", lambda: "tpu")
+    got = pc.csr_smvm_auto(a, x)
+    np.testing.assert_allclose(np.asarray(got), A @ np.asarray(x),
+                               rtol=2e-4, atol=2e-4)

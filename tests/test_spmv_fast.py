@@ -56,10 +56,9 @@ def test_skewed_rows_binned_plan():
     np.testing.assert_allclose(
         np.asarray(csr_smvm_fast(a, v, plan)), x @ np.asarray(v), rtol=1e-10
     )
-    b = jnp.asarray(rng.standard_normal((m, 8)))
-    np.testing.assert_allclose(
-        np.asarray(csr_spmm_fast(a, b, plan)), x @ np.asarray(b), rtol=1e-10
-    )
+    # csr_spmm_fast on a binned plan is covered (with chunking) by
+    # test_row_chunked_matches_unchunked — a second compile here bought
+    # nothing
 
 
 def test_fast_path_under_jit():
