@@ -106,5 +106,54 @@ def main():
     print(f"segment-sum only: {t*1e3:.2f} ms")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and len(sys.argv) == 1:
     main()
+
+
+def main_pallas(g=8, p=16, check=False, nb=2_000):
+    """Measure the Pallas DMA-gathered apply vs the XLA apply."""
+    from sparse_tpu.formats.bsr import bsr_smsmm_apply
+    from sparse_tpu.ops.pallas_bsr import (
+        bsr_smsmm_apply_pallas,
+        bsr_smsmm_pallas_prepare,
+    )
+
+    a = build(nb)
+    plan = bsr_smsmm_prepare(a, a)
+    t0 = time.time()
+    pp = bsr_smsmm_pallas_prepare(plan, a.nbz, a.nbz, g=g, p=p)
+    F = plan.n_products
+    S = int(pp.first.shape[0])
+    print(f"F={F} S={S} g={g} p={p} chunks={len(pp.chunks)} "
+          f"(prep {time.time()-t0:.1f}s)", file=sys.stderr)
+    flops = 2 * F * BSZ ** 3
+
+    if check:
+        ref = bsr_smsmm_apply(plan, a, a)
+        out = jax.jit(lambda pp, a: bsr_smsmm_apply_pallas(pp, a, a))(pp, a)
+        err = float(jnp.max(jnp.abs(out.blocks - ref.blocks))
+                    / (jnp.max(jnp.abs(ref.blocks)) + 1e-30))
+        print(f"full-size rel err vs XLA apply: {err:.2e}")
+        assert err < 1e-5, err
+
+    t = timed(
+        lambda blocks, pp, a: blocks * (1.0 + 1e-30 * jnp.sum(
+            bsr_smsmm_apply_pallas(
+                pp, BSR(indices=a.indices, blocks=blocks, n=a.n, bsz=a.bsz),
+                BSR(indices=a.indices, blocks=blocks, n=a.n, bsz=a.bsz),
+            ).blocks)),
+        a.blocks, pp, a,
+    )
+    print(f"pallas apply g={g} p={p}: {t*1e3:.2f} ms "
+          f"({flops/t/1e9:.1f} GFLOP/s, "
+          f"{(2*S*g+int(pp.indices.shape[0]))*BSZ*BSZ*4/t/1e9:.1f} GB/s)")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "pallas":
+    _nb = [int(x[3:]) for x in sys.argv[2:] if x.startswith("nb=")]
+    main_pallas(
+        int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+        int(sys.argv[3]) if len(sys.argv) > 3 else 16,
+        check="check" in sys.argv[4:],
+        nb=_nb[0] if _nb else 2_000,
+    )

@@ -716,6 +716,40 @@ def bench_bsr_spgemm(quick):
     emit("bsr_spgemm_apply_hbm_bw", bytes_ / t / 1e9, "GB/s",
          bytes_ / t / 1e9 / MEASURED_CEILING_GBPS)
 
+    # Pallas DMA-gathered apply (round 4): the DMA engine does the block
+    # gathering, one batched MXU einsum per grid step, VMEM slab
+    # accumulation — removes both the XLA gather wall (~318 ns/4KB block)
+    # and the segment-sum pass.  Always at the full size: the XLA apply
+    # OOMs HBM at 364k products (three 4x-tile-padded product-stream
+    # temps of 5.5 GB each — the real cause of the "remote-compiler 500s"
+    # of rounds 3-4; docs/performance.md), while the Pallas kernel never
+    # materializes the product stream.
+    from sparse_tpu.ops.pallas_bsr import (
+        bsr_smsmm_apply_pallas,
+        bsr_smsmm_pallas_prepare,
+    )
+
+    if not quick and a.nb != 4_000:
+        a = build(4_000)
+        plan = bsr_smsmm_prepare(a, a)
+        flops = 2.0 * plan.n_products * bsz**3
+        emit("bsr_spgemm_pallas_products", plan.n_products / 1e6, "M blk")
+
+    t0 = time.perf_counter()
+    pp = bsr_smsmm_pallas_prepare(plan, a.nbz, a.nbz)
+    emit("bsr_spgemm_pallas_prepare_seconds", time.perf_counter() - t0, "s")
+
+    def step_pallas(blocks, pp, a):
+        a2 = BSR(indices=a.indices, blocks=blocks, n=a.n, bsz=a.bsz)
+        c = bsr_smsmm_apply_pallas(pp, a2, a2)
+        return blocks * (1.0 + 1e-30 * jnp.sum(c.blocks))
+
+    t = timed_chain(step_pallas, a.blocks, pp, a)
+    emit("bsr_spgemm_pallas_apply_gflops", flops / t / 1e9, "GFLOP/s")
+    S = int(pp.first.shape[0])
+    pbytes = (2 * S * pp.g + plan.nbz_out) * bsz * bsz * 4
+    emit("bsr_spgemm_pallas_apply_dma_bw", pbytes / t / 1e9, "GB/s")
+
     # one-shot (symbolic pass on device, sort included)
     import jax
 
