@@ -730,25 +730,28 @@ def bench_bsr_spgemm(quick):
     )
 
     if not quick and a.nb != 4_000:
-        a = build(4_000)
-        plan = bsr_smsmm_prepare(a, a)
-        flops = 2.0 * plan.n_products * bsz**3
-        emit("bsr_spgemm_pallas_products", plan.n_products / 1e6, "M blk")
+        ap = build(4_000)
+        pplan = bsr_smsmm_prepare(ap, ap)
+        emit("bsr_spgemm_pallas_products", pplan.n_products / 1e6, "M blk")
+    else:
+        ap, pplan = a, plan
+    pflops = 2.0 * pplan.n_products * bsz**3
 
     t0 = time.perf_counter()
-    pp = bsr_smsmm_pallas_prepare(plan, a.nbz, a.nbz)
+    pp = bsr_smsmm_pallas_prepare(pplan, ap.nbz, ap.nbz)
     emit("bsr_spgemm_pallas_prepare_seconds", time.perf_counter() - t0, "s")
 
-    def step_pallas(blocks, pp, a):
-        a2 = BSR(indices=a.indices, blocks=blocks, n=a.n, bsz=a.bsz)
+    def step_pallas(blocks, pp, ap):
+        a2 = BSR(indices=ap.indices, blocks=blocks, n=ap.n, bsz=ap.bsz)
         c = bsr_smsmm_apply_pallas(pp, a2, a2)
         return blocks * (1.0 + 1e-30 * jnp.sum(c.blocks))
 
-    t = timed_chain(step_pallas, a.blocks, pp, a)
-    emit("bsr_spgemm_pallas_apply_gflops", flops / t / 1e9, "GFLOP/s")
+    t = timed_chain(step_pallas, ap.blocks, pp, ap)
+    emit("bsr_spgemm_pallas_apply_gflops", pflops / t / 1e9, "GFLOP/s")
     S = int(pp.first.shape[0])
-    pbytes = (2 * S * pp.g + plan.nbz_out) * bsz * bsz * 4
+    pbytes = (2 * S * pp.g + pplan.nbz_out) * bsz * bsz * 4
     emit("bsr_spgemm_pallas_apply_dma_bw", pbytes / t / 1e9, "GB/s")
+    del ap, pplan, pp
 
     # one-shot (symbolic pass on device, sort included)
     import jax
