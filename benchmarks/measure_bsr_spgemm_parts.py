@@ -149,6 +149,46 @@ def main_pallas(g=8, p=16, check=False, nb=2_000):
           f"{(2*S*g+int(pp.indices.shape[0]))*BSZ*BSZ*4/t/1e9:.1f} GB/s)")
 
 
+def main_grad(nb=2_000):
+    """Measure forward+backward through the differentiable Pallas apply."""
+    from sparse_tpu.ops.pallas_bsr import (
+        bsr_smsmm_apply_pallas_ad,
+        bsr_smsmm_pallas_prepare_ad,
+    )
+
+    a = build(nb)
+    plan = bsr_smsmm_prepare(a, a)
+    t0 = time.time()
+    plans = bsr_smsmm_pallas_prepare_ad(plan, a.nbz, a.nbz)
+    F = plan.n_products
+    print(f"F={F} (ad prep {time.time()-t0:.1f}s)", file=sys.stderr)
+    flops = 3 * 2 * F * BSZ ** 3  # fwd + two bwd products
+
+    def value_grad(blocks, plans, a):
+        def loss(bl):
+            m = BSR(indices=a.indices, blocks=bl, n=a.n, bsz=a.bsz)
+            return jnp.sum(bsr_smsmm_apply_pallas_ad(plans, m, m).blocks)
+
+        # value_and_grad + using BOTH outputs keeps the forward kernel
+        # live (plain grad() lets XLA DCE it: the residuals are just the
+        # inputs, so the forward pallas_call's output is otherwise unused)
+        v, gr = jax.value_and_grad(loss)(blocks)
+        return v + jnp.sum(gr)
+
+    t = timed(
+        lambda blocks, plans, a: blocks
+        * (1.0 + 1e-30 * value_grad(blocks, plans, a)),
+        a.blocks, plans, a,
+    )
+    print(f"value+grad (fwd+2 bwd) nb={nb}: {t*1e3:.2f} ms "
+          f"({flops/t/1e9:.1f} GFLOP/s equivalent)")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "grad":
+    _nb = [int(x[3:]) for x in sys.argv[2:] if x.startswith("nb=")]
+    main_grad(nb=_nb[0] if _nb else 2_000)
+
+
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "pallas":
     _nb = [int(x[3:]) for x in sys.argv[2:] if x.startswith("nb=")]
     main_pallas(

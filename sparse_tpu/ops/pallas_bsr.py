@@ -17,6 +17,13 @@ already output-sorted in :class:`~sparse_tpu.formats.bsr.BsrSmsmmPlan`,
 so a slab's products form one contiguous range; tail slots pad to an
 appended all-zero block aimed at slab row 0 (adds exact zeros).
 
+The same kernel runs the BACKWARD pass of the differentiable variant
+(:func:`bsr_smsmm_apply_pallas_ad`): dC/dA[f] = dC[seg_f] @ B[b_pos_f]^T
+accumulated by ``a_pos`` and dC/dB[f] = A[a_pos_f]^T @ dC[seg_f]
+accumulated by ``b_pos`` are the identical gather-einsum-slab shape with
+permuted schedules, so gradients run at forward speed instead of falling
+back to the XLA gather wall.
+
 Reference semantics: blocked_square_regular.fut:336-363 (same contract as
 ``bsr_smsmm_apply``; values agree up to summation order).
 """
@@ -34,7 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.bsr import BSR, BsrSmsmmPlan
 
-__all__ = ["BsrPallasPlan", "bsr_smsmm_pallas_prepare", "bsr_smsmm_apply_pallas"]
+__all__ = [
+    "BsrPallasPlan",
+    "BsrPallasPlanAD",
+    "bsr_smsmm_pallas_prepare",
+    "bsr_smsmm_pallas_prepare_ad",
+    "bsr_smsmm_apply_pallas",
+    "bsr_smsmm_apply_pallas_ad",
+]
 
 _G = 24  # product pairs per grid step (chip sweep: 338 GFLOP/s at g=24)
 _SLAB_BYTES = 512 * 1024  # target output-slab footprint -> default p
@@ -72,42 +86,46 @@ class BsrPallasPlan:
     nbz_out: int
 
 
-def bsr_smsmm_pallas_prepare(plan: BsrSmsmmPlan, nbz_a: int, nbz_b: int,
-                             g: int | None = None,
-                             p: int | None = None) -> BsrPallasPlan:
-    """Host-side DMA schedule from a block-product plan (eager, once per
-    pattern pair).  ``nbz_a``/``nbz_b``: the factor matrices' stored block
-    capacities (the appended zero block lands at that slot).  Defaults from
-    the chip sweep (docs/performance.md): ``g=24`` product pairs per grid
-    step, slab size ``p`` targeting ~512 KB of VMEM."""
+def _default_gp(bsz: int, g: int | None, p: int | None) -> tuple[int, int]:
     if g is None:
         g = _G
     if p is None:
-        p = min(max(_SLAB_BYTES // (plan.bsz * plan.bsz * 4), 8), 128)
-    seg = np.asarray(plan.seg)
-    a_pos = np.asarray(plan.a_pos)
-    b_pos = np.asarray(plan.b_pos)
-    nse_out = plan.nbz_out
-    nslabs = max(-(-nse_out // p), 1)
-    # products of slab s = the contiguous seg range [p0, p1) (seg sorted)
-    slab_of_prod = seg // p if seg.size else np.zeros(0, np.int64)
-    counts = np.bincount(slab_of_prod, minlength=nslabs) if seg.size else \
+        p = min(max(_SLAB_BYTES // (bsz * bsz * 4), 8), 128)
+    return g, p
+
+
+def _schedule(out_pos, s1_pos, s2_pos, pad1, pad2, n_out, indices,
+              g, p, n, bsz) -> BsrPallasPlan:
+    """Generic slab schedule: for product f, fetch stream-1 slot
+    ``s1_pos[f]`` and stream-2 slot ``s2_pos[f]`` and accumulate their
+    block product into output slot ``out_pos[f]`` (capacity ``n_out``).
+    ``pad1``/``pad2`` are the streams' appended-zero slots.  Products are
+    stably sorted by output slot; empty slabs still get one zeroing step."""
+    out_pos = np.asarray(out_pos, np.int64)
+    order = np.argsort(out_pos, kind="stable")
+    out_s = out_pos[order]
+    s1_s = np.asarray(s1_pos, np.int64)[order]
+    s2_s = np.asarray(s2_pos, np.int64)[order]
+    F = out_s.size
+    nslabs = max(-(-n_out // p), 1)
+    slab_of_prod = out_s // p if F else np.zeros(0, np.int64)
+    counts = np.bincount(slab_of_prod, minlength=nslabs) if F else \
         np.zeros(nslabs, np.int64)
     steps_per = -(-np.maximum(counts, 1) // g)
     sstarts = np.zeros(nslabs + 1, np.int64)
     np.cumsum(steps_per, out=sstarts[1:])
     S = int(sstarts[-1])
-    a_idx = np.full(S * g, nbz_a, np.int32)  # zero-block slot (pad)
-    b_idx = np.full(S * g, nbz_b, np.int32)
+    a_idx = np.full(S * g, pad1, np.int32)  # zero-block slot (pad)
+    b_idx = np.full(S * g, pad2, np.int32)
     oloc = np.zeros(S * g, np.int32)  # pads aim at slab row 0 (add 0)
-    if seg.size:
+    if F:
         pstart = np.zeros(nslabs + 1, np.int64)
         np.cumsum(counts, out=pstart[1:])
-        rank = np.arange(seg.size) - pstart[slab_of_prod]
+        rank = np.arange(F) - pstart[slab_of_prod]
         pos = sstarts[slab_of_prod] * g + rank
-        a_idx[pos] = a_pos
-        b_idx[pos] = b_pos
-        oloc[pos] = (seg - slab_of_prod * p).astype(np.int32)
+        a_idx[pos] = s1_s
+        b_idx[pos] = s2_s
+        oloc[pos] = (out_s - slab_of_prod * p).astype(np.int32)
     slab_of_step = np.repeat(np.arange(nslabs, dtype=np.int64), steps_per)
     first = np.zeros(S, np.int32)
     first[sstarts[:-1]] = 1
@@ -139,37 +157,87 @@ def bsr_smsmm_pallas_prepare(plan: BsrSmsmmPlan, nbz_a: int, nbz_b: int,
         oloc=jnp.asarray(oloc),
         slab=jnp.asarray(slab_rel),
         first=jnp.asarray(first),
-        indices=plan.indices,
+        indices=indices,
         chunks=tuple(chunks),
-        n=plan.n,
-        bsz=plan.bsz,
+        n=n,
+        bsz=bsz,
         g=g,
         p=p,
-        nbz_out=nse_out,
+        nbz_out=n_out,
     )
 
 
-def bsr_smsmm_apply_pallas(pplan: BsrPallasPlan, a: BSR, b: BSR, *,
-                           precision=None,
-                           interpret: bool = False) -> BSR:
-    """Numeric block-SpGEMM via DMA-gathered factor blocks (values may
-    change, block structure must not).  jit-compatible, deterministic
-    (products accumulate in plan order within each slab row)."""
+def bsr_smsmm_pallas_prepare(plan: BsrSmsmmPlan, nbz_a: int, nbz_b: int,
+                             g: int | None = None,
+                             p: int | None = None) -> BsrPallasPlan:
+    """Host-side DMA schedule from a block-product plan (eager, once per
+    pattern pair).  ``nbz_a``/``nbz_b``: the factor matrices' stored block
+    capacities (the appended zero block lands at that slot).  Defaults from
+    the chip sweep (docs/performance.md): ``g=24`` product pairs per grid
+    step, slab size ``p`` targeting ~512 KB of VMEM."""
+    g, p = _default_gp(plan.bsz, g, p)
+    return _schedule(
+        np.asarray(plan.seg), np.asarray(plan.a_pos), np.asarray(plan.b_pos),
+        nbz_a, nbz_b, plan.nbz_out, plan.indices,
+        g, p, plan.n, plan.bsz,
+    )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["fwd", "da", "db"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class BsrPallasPlanAD:
+    """Forward + two backward DMA schedules for the differentiable apply.
+
+    ``da`` accumulates dC[seg] @ B[b_pos]^T into A's block slots; ``db``
+    accumulates A[a_pos]^T @ dC[seg] into B's block slots (both the same
+    kernel as ``fwd`` with permuted schedules)."""
+
+    fwd: BsrPallasPlan
+    da: BsrPallasPlan
+    db: BsrPallasPlan
+
+
+def bsr_smsmm_pallas_prepare_ad(plan: BsrSmsmmPlan, nbz_a: int, nbz_b: int,
+                                g: int | None = None,
+                                p: int | None = None) -> BsrPallasPlanAD:
+    """Like :func:`bsr_smsmm_pallas_prepare`, plus the two gradient
+    schedules consumed by :func:`bsr_smsmm_apply_pallas_ad`."""
+    g, p = _default_gp(plan.bsz, g, p)
+    seg = np.asarray(plan.seg)
+    a_pos = np.asarray(plan.a_pos)
+    b_pos = np.asarray(plan.b_pos)
+    from ..ops.segmented import INDEX_DTYPE
+
+    fwd = _schedule(seg, a_pos, b_pos, nbz_a, nbz_b, plan.nbz_out,
+                    plan.indices, g, p, plan.n, plan.bsz)
+    da = _schedule(a_pos, seg, b_pos, plan.nbz_out, nbz_b, nbz_a,
+                   jnp.arange(nbz_a, dtype=INDEX_DTYPE),
+                   g, p, plan.n, plan.bsz)
+    db = _schedule(b_pos, a_pos, seg, nbz_a, plan.nbz_out, nbz_b,
+                   jnp.arange(nbz_b, dtype=INDEX_DTYPE),
+                   g, p, plan.n, plan.bsz)
+    return BsrPallasPlanAD(fwd=fwd, da=da, db=db)
+
+
+def _append_zero(blocks: jax.Array, dtype) -> jax.Array:
+    bsz = blocks.shape[-1]
+    return jnp.concatenate(
+        [blocks.astype(dtype), jnp.zeros((1, bsz, bsz), dtype)])
+
+
+def _run_slabs(pplan: BsrPallasPlan, z1: jax.Array, z2: jax.Array,
+               out_dtype, precision, interpret: bool) -> jax.Array:
+    """Run the slab kernel over the plan's chunks.  ``z1``/``z2`` carry
+    the appended zero block at the plan's pad slots.  Returns the
+    (nbz_out, bsz, bsz) accumulated blocks."""
     bsz, g, p = pplan.bsz, pplan.g, pplan.p
-    out_dtype = jnp.result_type(a.dtype, b.dtype)
     nbz_out = pplan.nbz_out
     if nbz_out == 0:
-        return BSR(indices=pplan.indices,
-                   blocks=jnp.zeros((0, bsz, bsz), out_dtype),
-                   n=pplan.n, bsz=bsz)
-    # appended zero block = the padding target of short steps
-    za = jnp.concatenate(
-        [a.blocks.astype(out_dtype), jnp.zeros((1, bsz, bsz), out_dtype)])
-    zb = jnp.concatenate(
-        [b.blocks.astype(out_dtype), jnp.zeros((1, bsz, bsz), out_dtype)])
-    if precision is None:
-        precision = (jax.lax.Precision.HIGHEST
-                     if jnp.dtype(out_dtype) == jnp.float32 else None)
+        return jnp.zeros((0, bsz, bsz), out_dtype)
 
     def kernel(a_idx, b_idx, oloc, first, slab, *refs):
         arefs = refs[:g]
@@ -239,10 +307,90 @@ def bsr_smsmm_apply_pallas(pplan: BsrPallasPlan, a: BSR, b: BSR, *,
             jax.lax.dynamic_slice(pplan.oloc, (s0 * g,), (ns * g,)),
             jax.lax.dynamic_slice(pplan.first, (s0,), (ns,)),
             jax.lax.dynamic_slice(pplan.slab, (s0,), (ns,)),
-            *([za] * g),
-            *([zb] * g),
+            *([z1] * g),
+            *([z2] * g),
         )
         pieces.append(out)
     blocks = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
-    return BSR(indices=pplan.indices, blocks=blocks[:nbz_out],
-               n=pplan.n, bsz=bsz)
+    return blocks[:nbz_out]
+
+
+def _resolve_precision(precision, out_dtype):
+    if precision is None and jnp.dtype(out_dtype) == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return precision
+
+
+def bsr_smsmm_apply_pallas(pplan: BsrPallasPlan, a: BSR, b: BSR, *,
+                           precision=None,
+                           interpret: bool = False) -> BSR:
+    """Numeric block-SpGEMM via DMA-gathered factor blocks (values may
+    change, block structure must not).  jit-compatible, deterministic
+    (products accumulate in plan order within each slab row).  Not
+    differentiable — use :func:`bsr_smsmm_apply_pallas_ad` for autodiff."""
+    out_dtype = jnp.result_type(a.dtype, b.dtype)
+    precision = _resolve_precision(precision, out_dtype)
+    blocks = _run_slabs(
+        pplan,
+        _append_zero(a.blocks, out_dtype),
+        _append_zero(b.blocks, out_dtype),
+        out_dtype, precision, interpret,
+    )
+    return BSR(indices=pplan.indices, blocks=blocks, n=pplan.n, bsz=pplan.bsz)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _apply_ad(static, plans: BsrPallasPlanAD, a_blocks, b_blocks):
+    precision, interpret = static
+    out_dtype = jnp.result_type(a_blocks.dtype, b_blocks.dtype)
+    prec = _resolve_precision(precision, out_dtype)
+    return _run_slabs(
+        plans.fwd,
+        _append_zero(a_blocks, out_dtype),
+        _append_zero(b_blocks, out_dtype),
+        out_dtype, prec, interpret,
+    )
+
+
+def _apply_ad_fwd(static, plans, a_blocks, b_blocks):
+    return _apply_ad(static, plans, a_blocks, b_blocks), \
+        (plans, a_blocks, b_blocks)
+
+
+def _apply_ad_bwd(static, res, ct):
+    precision, interpret = static
+    plans, a_blocks, b_blocks = res
+    out_dtype = jnp.result_type(a_blocks.dtype, b_blocks.dtype)
+    prec = _resolve_precision(precision, out_dtype)
+    zc = _append_zero(ct, out_dtype)
+    # dA[a_pos] += dC[seg] @ B[b_pos]^T
+    da = _run_slabs(
+        plans.da, zc,
+        _append_zero(b_blocks.transpose(0, 2, 1), out_dtype),
+        out_dtype, prec, interpret,
+    ).astype(a_blocks.dtype)
+    # dB[b_pos] += A[a_pos]^T @ dC[seg]
+    db = _run_slabs(
+        plans.db,
+        _append_zero(a_blocks.transpose(0, 2, 1), out_dtype),
+        zc,
+        out_dtype, prec, interpret,
+    ).astype(b_blocks.dtype)
+    plans_ct = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0), plans)
+    return plans_ct, da, db
+
+
+_apply_ad.defvjp(_apply_ad_fwd, _apply_ad_bwd)
+
+
+def bsr_smsmm_apply_pallas_ad(plans: BsrPallasPlanAD, a: BSR, b: BSR, *,
+                              precision=None,
+                              interpret: bool = False) -> BSR:
+    """Differentiable :func:`bsr_smsmm_apply_pallas`: the custom VJP runs
+    both gradient products through the SAME DMA-gathered slab kernel
+    (permuted schedules from :func:`bsr_smsmm_pallas_prepare_ad`), so
+    backward runs at forward speed instead of the XLA gather wall."""
+    blocks = _apply_ad((precision, interpret), plans, a.blocks, b.blocks)
+    return BSR(indices=plans.fwd.indices, blocks=blocks,
+               n=plans.fwd.n, bsz=plans.fwd.bsz)

@@ -130,6 +130,69 @@ def test_empty_product_set():
     assert got.blocks.shape[0] == 0
 
 
+def test_grad_matches_xla_apply_grad():
+    # the custom VJP (same DMA kernel, permuted schedules) must agree
+    # with autodiff through the XLA apply for both factors
+    from sparse_tpu.ops.pallas_bsr import (
+        bsr_smsmm_apply_pallas_ad,
+        bsr_smsmm_pallas_prepare_ad,
+    )
+
+    a = random_bsr(6, 8, 0.4, seed=2)
+    b = random_bsr(6, 8, 0.4, seed=5)
+    plan = bsr_smsmm_prepare(a, b)
+    plans = bsr_smsmm_pallas_prepare_ad(plan, a.nbz, b.nbz, g=4, p=8)
+    w = np.random.default_rng(0).standard_normal(
+        (plan.nbz_out, a.bsz, a.bsz)).astype(np.float32)
+    w = jnp.asarray(w)  # non-uniform cotangent
+
+    def loss_pallas(ab, bb):
+        c = bsr_smsmm_apply_pallas_ad(
+            plans,
+            dataclasses.replace(a, blocks=ab),
+            dataclasses.replace(b, blocks=bb),
+            interpret=True,
+        )
+        return jnp.sum(c.blocks * w)
+
+    def loss_xla(ab, bb):
+        c = bsr_smsmm_apply(
+            plan,
+            dataclasses.replace(a, blocks=ab),
+            dataclasses.replace(b, blocks=bb),
+        )
+        return jnp.sum(c.blocks * w)
+
+    va, ga = jax.value_and_grad(loss_pallas, argnums=(0, 1))(
+        a.blocks, b.blocks)
+    vx, gx = jax.value_and_grad(loss_xla, argnums=(0, 1))(a.blocks, b.blocks)
+    np.testing.assert_allclose(float(va), float(vx), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gx[0]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gx[1]),
+                               rtol=2e-5, atol=2e-5)
+    # under jit too
+    gj = jax.jit(jax.grad(loss_pallas))(a.blocks, b.blocks)
+    np.testing.assert_allclose(np.asarray(gj), np.asarray(gx[0]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ad_forward_equals_plain():
+    from sparse_tpu.ops.pallas_bsr import (
+        bsr_smsmm_apply_pallas_ad,
+        bsr_smsmm_pallas_prepare_ad,
+    )
+
+    a = random_bsr(5, 8, 0.5, seed=11)
+    plan = bsr_smsmm_prepare(a, a)
+    pp = bsr_smsmm_pallas_prepare(plan, a.nbz, a.nbz, g=4, p=4)
+    plans = bsr_smsmm_pallas_prepare_ad(plan, a.nbz, a.nbz, g=4, p=4)
+    ref = bsr_smsmm_apply_pallas(pp, a, a, interpret=True)
+    got = bsr_smsmm_apply_pallas_ad(plans, a, a, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.blocks),
+                                  np.asarray(ref.blocks))
+
+
 def test_bf16_inputs_f32_accum():
     a = random_bsr(5, 8, 0.5, seed=4)
     ab = dataclasses.replace(a, blocks=a.blocks.astype(jnp.bfloat16))
