@@ -294,33 +294,42 @@ def bench_real_matrices(quick):
         prepared path (the round-3 measured ~900x win at bsz=32 was never
         reachable without hand-routing; round 4's dispatcher must find the
         block route on its own)."""
+        import contextlib
+
+        import jax
+
+        from sparse_tpu.formats.bsr import BSR_MAX_NB
+        from sparse_tpu.ops.spgemm import _spgemm_route
+
+        bsz, fill = detect_block_size(a)
+        emit(f"{tag}_detected_bsz", bsz, "bsz")
+        wide = bsz >= 2 and a.shape[0] // bsz > BSR_MAX_NB
+        # round 4: beyond nb=46340 BSR switches to wide (int64) block
+        # coordinates instead of refusing (round-3 bound removed); x64 is
+        # scoped to this block so every other section measures untouched
+        ctx = jax.enable_x64() if wide else contextlib.nullcontext()
+        with ctx:
+            route, rbsz = _spgemm_route(a, a)
+            assert route == "block" and rbsz == bsz, (
+                f"{tag}: expected the auto dispatcher to pick the block "
+                f"route, got {route}"
+            )
+            emit(f"{tag}_block_route", 1,
+                 "auto (wide int64)" if wide else "auto")
+            if not on_tpu:
+                return
+            _run_block_spgemm_timed(tag, a, bsz)
+
+    def _run_block_spgemm_timed(tag, a, bsz):
         from sparse_tpu.formats.bsr import (
             bsr_smsmm_apply,
             bsr_smsmm_prepare,
             csr_to_bsr,
         )
-        from sparse_tpu.ops.spgemm import _spgemm_route
 
-        from sparse_tpu.formats.bsr import BSR_MAX_NB
-
-        bsz, fill = detect_block_size(a)
-        emit(f"{tag}_detected_bsz", bsz, "bsz")
-        route, rbsz = _spgemm_route(a, a)
-        if bsz >= 2 and a.shape[0] // bsz > BSR_MAX_NB:
-            # BSR's int32 flattened block coordinates cap nb at 46340: a
-            # 400k-row matrix at bsz=2 cannot re-block single-device —
-            # shard via sparse_tpu.parallel instead (documented bound)
-            assert route != "block"
-            emit(f"{tag}_block_route", 0, "nb exceeds BSR int32 limit")
-            return
-        assert route == "block" and rbsz == bsz, (
-            f"{tag}: expected the auto dispatcher to pick the block route, "
-            f"got {route}"
-        )
-        emit(f"{tag}_block_route", 1, "auto")
-        if not on_tpu:
-            return
+        t0 = time.perf_counter()
         ab = csr_to_bsr(a, bsz)
+        emit(f"{tag}_csr_to_bsr_s", time.perf_counter() - t0, "s")
         t0 = time.perf_counter()
         bplan = bsr_smsmm_prepare(ab, ab)
         emit(f"{tag}_block_spgemm_prepare_s", time.perf_counter() - t0, "s")

@@ -6,9 +6,11 @@ set of identically-sized dense ``bsz x bsz`` blocks, with ``bsz | n``.
 
 Representation (vs reference type at blocked_square_regular.fut:179-183):
 
-* ``indices``: [nbz] int32 flattened block coordinates ``r * nb + c``
+* ``indices``: [nbz] flattened block coordinates ``r * nb + c``
   (``nb = n/bsz`` blocks per dimension), **sorted ascending**, padding slots
-  carry the sentinel ``nb*nb``;
+  carry the sentinel ``nb*nb``; int32 while ``nb <= 46340`` (the TPU-native
+  index width), int64 beyond ("wide" mode — requires jax x64, mirrors the
+  f64 support contract);
 * ``blocks``: [nbz, bsz, bsz] values; padding blocks are all-zero.
 
 Static capacity ``nbz`` + sentinel padding replaces the reference's
@@ -145,8 +147,14 @@ class BSR:
 
 BSR_MAX_NB = 46340
 """Largest blocks-per-dimension whose flattened coordinates r*nb+c fit
-int32 (the TPU-native index width); dispatchers must respect it when
-choosing a re-blocking bsz."""
+int32 (the TPU-native index width).  Beyond it BSR switches to int64
+("wide") indices, which requires jax x64 mode — same contract as f64
+element support."""
+
+
+def _bidx_dtype(nb: int):
+    """Index dtype for flattened block coordinates ``r * nb + c``."""
+    return INDEX_DTYPE if nb <= BSR_MAX_NB else jnp.int64
 
 
 def _check_divides(n: int, bsz: int) -> None:
@@ -154,13 +162,15 @@ def _check_divides(n: int, bsz: int) -> None:
     if n % bsz != 0:
         raise ValueError(f"block size {bsz} must divide n={n}")
     nb = n // bsz
-    # flattened block coordinates r*nb+c live in int32 (TPU-native index
-    # width); guard the representable range explicitly
-    if nb > BSR_MAX_NB:
+    # wide flattened block coordinates need real int64 on device; without
+    # x64 jax silently downcasts to int32 and coordinates would collide
+    if nb > BSR_MAX_NB and not jax.config.jax_enable_x64:
         raise ValueError(
-            f"BSR supports at most 46340 blocks per dimension in int32 "
-            f"(got {nb} = {n}/{bsz}); use a larger block size or shard the "
-            f"matrix (sparse_tpu.parallel)"
+            f"{nb} = {n}/{bsz} blocks per dimension exceeds the int32 "
+            f"block-coordinate range (46340); wide BSR indices require "
+            f"jax x64 mode (jax.config.update('jax_enable_x64', True)), "
+            f"or use a larger block size / shard the matrix "
+            f"(sparse_tpu.parallel)"
         )
 
 
@@ -194,7 +204,7 @@ def _merge_blocks(n: int, bsz: int, idxs: jax.Array, blocks: jax.Array) -> BSR:
     group = jnp.cumsum(is_head.astype(INDEX_DTYPE)) - 1
     target = jnp.where(valid, group, nbz)
     out_blocks = jnp.zeros_like(blocks).at[target].add(blocks, mode="drop")
-    out_idx = jnp.full((nbz,), sentinel, INDEX_DTYPE).at[
+    out_idx = jnp.full((nbz,), sentinel, idxs.dtype).at[
         jnp.where(is_head, group, nbz)
     ].set(idxs, mode="drop")
     # zero any block in padding slots (slots never written stay zero)
@@ -213,7 +223,7 @@ def bsr_zero(n: int, bsz: int, nbz: int = 0, dtype=jnp.float32) -> BSR:
     _check_divides(n, bsz)
     nb = n // bsz
     return BSR(
-        indices=jnp.full((nbz,), nb * nb, INDEX_DTYPE),
+        indices=jnp.full((nbz,), nb * nb, _bidx_dtype(nb)),
         blocks=jnp.zeros((nbz, bsz, bsz), dtype),
         n=n,
         bsz=bsz,
@@ -238,7 +248,7 @@ def bsr_make(n: int, bsz: int, entries, dtype=None) -> BSR:
         raise ValueError(f"blocks must be {bsz}x{bsz}; got {blks.shape[1:]}")
     if rs.size and (rs.min() < 0 or rs.max() >= nb or cs.min() < 0 or cs.max() >= nb):
         raise ValueError(f"block coordinate out of bounds for {nb}x{nb} blocks")
-    idxs = jnp.asarray(rs * nb + cs, INDEX_DTYPE)
+    idxs = jnp.asarray(rs * nb + cs, _bidx_dtype(nb))
     return _merge_blocks(n, bsz, idxs, jnp.asarray(blks))
 
 
@@ -246,7 +256,7 @@ def bsr_eye(n: int, bsz: int, dtype=jnp.float32) -> BSR:
     """Identity (reference ``eye``, blocked_square_regular.fut:208-210)."""
     _check_divides(n, bsz)
     nb = n // bsz
-    i = jnp.arange(nb, dtype=INDEX_DTYPE)
+    i = jnp.arange(nb, dtype=_bidx_dtype(nb))
     blk = jnp.eye(bsz, dtype=dtype)
     return BSR(
         indices=i * nb + i,
@@ -263,7 +273,7 @@ def bsr_diag(v: jax.Array, bsz: int) -> BSR:
     n = v.shape[0]
     _check_divides(n, bsz)
     nb = n // bsz
-    i = jnp.arange(nb, dtype=INDEX_DTYPE)
+    i = jnp.arange(nb, dtype=_bidx_dtype(nb))
     vb = v.reshape(nb, bsz)
     blocks = vb[:, :, None] * jnp.eye(bsz, dtype=v.dtype)[None]
     return BSR(indices=i * nb + i, blocks=blocks, n=n, bsz=bsz)
@@ -292,7 +302,7 @@ def bsr_from_dense(x: jax.Array, bsz: int, nbz: int | None = None) -> BSR:
         if nbz <= total
         else jnp.concatenate([nz[order], jnp.zeros((nbz - total,), bool)])
     )
-    idxs = jnp.where(taken_valid, idx.astype(INDEX_DTYPE), total)
+    idxs = jnp.where(taken_valid, idx.astype(_bidx_dtype(nb)), total)
     blocks = jnp.where(
         taken_valid[:, None, None], xb.reshape(total, bsz, bsz)[idx], 0
     )
@@ -321,7 +331,8 @@ def bsr_transpose(a: BSR) -> BSR:
     ``transp``, blocked_square_regular.fut:226-232); one sort restores the
     sorted-indices invariant the reference defers to consumers."""
     valid, r, c = _rc(a)
-    new_idx = jnp.where(valid, c * a.nb + r, a.sentinel).astype(INDEX_DTYPE)
+    idt = a.indices.dtype
+    new_idx = jnp.where(valid, c.astype(idt) * a.nb + r, a.sentinel).astype(idt)
     return _merge_blocks(a.n, a.bsz, new_idx, jnp.swapaxes(a.blocks, 1, 2))
 
 
@@ -381,9 +392,10 @@ def bsr_from_coo(a: COO, bsz: int, nbz: int | None = None) -> BSR:
     if nbz is None:
         nbz = nse
     valid = a.row < n
-    h = jnp.where(valid, (a.row // bsz) * nb + (a.col // bsz), sentinel).astype(
-        INDEX_DTYPE
-    )
+    idt = _bidx_dtype(nb)
+    h = jnp.where(
+        valid, (a.row // bsz).astype(idt) * nb + (a.col // bsz), sentinel
+    ).astype(idt)
     # group scalar entries by block: sorted h (coo sorted by (r,c) is NOT
     # sorted by block id), so sort by h first
     order = jnp.argsort(h, stable=True)
@@ -399,7 +411,7 @@ def bsr_from_coo(a: COO, bsz: int, nbz: int | None = None) -> BSR:
     blocks = jnp.zeros((nbz, bsz, bsz), a.dtype).at[group, row_l, col_l].add(
         data, mode="drop"
     )
-    idxs = jnp.full((nbz,), sentinel, INDEX_DTYPE).at[
+    idxs = jnp.full((nbz,), sentinel, idt).at[
         jnp.where(is_head, group, nbz)
     ].set(h, mode="drop")
     return BSR(indices=idxs, blocks=blocks, n=n, bsz=bsz)
@@ -419,10 +431,50 @@ def csr_to_bsr(a, bsz: int, nbz: int | None = None,
     scalar CSR SpGEMM — at low fill the bsz^2/fill storage blow-up loses;
     check ``utils.stats.matrix_stats`` first.  jit-compatible when ``nbz``
     is given (``compact=False``); eager by default."""
+    if nbz is None:
+        return _csr_to_bsr_host(a, bsz)
     from .csr import csr_to_coo
 
     out = bsr_from_coo(csr_to_coo(a), bsz, nbz=nbz)
     return bsr_compact(out) if compact else out
+
+
+def _csr_to_bsr_host(a, bsz: int) -> BSR:
+    """Eager host-side re-blocking (NumPy): the device path costs ~4 min at
+    5.6M nnz through the remote tunnel (one eager jit dispatch per
+    normalize/sort/scatter stage), while the same assembly is ~1 s of host
+    work + one upload.  Identical structure: CSR entries are unique and
+    (row, col)-sorted, so blocks group by a stable argsort of the flattened
+    block id."""
+    n, m = a.shape
+    if n != m:
+        raise ValueError(f"BSR matrices are square; got {a.shape}")
+    _check_divides(n, bsz)
+    nb = n // bsz
+    indptr = np.asarray(a.indptr)
+    k = int(indptr[-1]) if indptr.size else 0
+    if k == 0:
+        return bsr_zero(n, bsz, 0, a.dtype)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))[:k]
+    cols = np.asarray(a.indices)[:k].astype(np.int64)
+    data = np.asarray(a.data)[:k]
+    h = (rows // bsz) * nb + cols // bsz
+    from ..native.plansort import argsort_u64
+
+    order = argsort_u64(h.astype(np.uint64))
+    h_s = h[order]
+    heads = np.ones(k, bool)
+    heads[1:] = h_s[1:] != h_s[:-1]
+    group = np.cumsum(heads) - 1
+    nbz_exact = int(group[-1]) + 1
+    blocks = np.zeros((nbz_exact, bsz, bsz), data.dtype)
+    blocks[group, (rows[order] % bsz), (cols[order] % bsz)] = data[order]
+    return BSR(
+        indices=jnp.asarray(h_s[heads], _bidx_dtype(nb)),
+        blocks=jnp.asarray(blocks),
+        n=n,
+        bsz=bsz,
+    )
 
 
 def bsr_compact(a: BSR) -> BSR:
@@ -462,7 +514,7 @@ def bsr_mul(a: BSR, b: BSR) -> BSR:
     pos = jnp.searchsorted(b.indices, a.indices).astype(INDEX_DTYPE)
     pos = jnp.minimum(pos, b.nbz - 1)
     found = (b.indices[pos] == a.indices) & (a.indices < a.sentinel)
-    idxs = jnp.where(found, a.indices, a.sentinel).astype(INDEX_DTYPE)
+    idxs = jnp.where(found, a.indices, a.sentinel).astype(a.indices.dtype)
     blocks = jnp.where(found[:, None, None], a.blocks * b.blocks[pos], 0)
     return _merge_blocks(a.n, a.bsz, idxs, blocks)  # re-pack sentinels
 
@@ -542,9 +594,10 @@ def bsr_smsmm_core(a: BSR, b: BSR, expansion_nbz: int) -> BSR:
         preferred_element_type=out_dtype,
         precision=matmul_precision(a.dtype, b.dtype),
     )
+    idt = _bidx_dtype(nb)
     target = jnp.where(
-        live & valid_a[e], a_r[e] * nb + b_c[b_pos], nb * nb
-    ).astype(INDEX_DTYPE)
+        live & valid_a[e], a_r[e].astype(idt) * nb + b_c[b_pos], nb * nb
+    ).astype(idt)
     prods = jnp.where((target < nb * nb)[:, None, None], prods, 0)
     return _merge_blocks(n, bsz, target, prods.astype(out_dtype))
 
@@ -616,7 +669,7 @@ def bsr_smsmm_prepare(a: BSR, b: BSR) -> BsrSmsmmPlan:
         b_pos=jnp.asarray(vb[pb_[order]], INDEX_DTYPE),
         seg=jnp.asarray(seg, INDEX_DTYPE),
         indices=jnp.asarray(t_o[head] if F else np.zeros(0, np.int64),
-                            INDEX_DTYPE),
+                            _bidx_dtype(nb)),
         n=a.n,
         bsz=a.bsz,
     )
@@ -626,11 +679,32 @@ def bsr_smsmm_prepare(a: BSR, b: BSR) -> BsrSmsmmPlan:
 def bsr_smsmm_apply(plan: BsrSmsmmPlan, a: BSR, b: BSR) -> BSR:
     """Numeric block-SpGEMM pass for the pattern pair captured in ``plan``
     (values may change, block structure must not).  jit-compatible,
-    sort-free, deterministic."""
+    sort-free, deterministic.
+
+    Small blocks (bsz <= 4) multiply in a FLAT (F, bsz^2) layout with the
+    bsz^3 products unrolled elementwise: a 3-D (F, bsz, bsz) stream would
+    be (sublane, lane)-tile-padded up to 64x (measured: three 9.7 GB HBM
+    temps for 155 MB of bsz=2 data — an instant OOM at real sizes), while
+    flat rows pad ~1x.  Larger blocks keep the batched MXU einsum (4x pad
+    at bsz=32; use :func:`~sparse_tpu.ops.pallas_bsr.bsr_smsmm_apply_pallas`
+    to avoid materializing the streams entirely)."""
     out_dtype = jnp.result_type(a.dtype, b.dtype)
     bsz = plan.bsz
     if plan.n_products == 0:
         blocks = jnp.zeros((plan.nbz_out, bsz, bsz), out_dtype)
+    elif bsz <= 4:
+        b2 = bsz * bsz
+        fa = a.blocks.reshape(-1, b2)[plan.a_pos].astype(out_dtype)
+        fb = b.blocks.reshape(-1, b2)[plan.b_pos].astype(out_dtype)
+        cols = [
+            sum(fa[:, i * bsz + k] * fb[:, k * bsz + j]
+                for k in range(bsz))
+            for i in range(bsz) for j in range(bsz)
+        ]
+        blocks = segment_sum(
+            jnp.stack(cols, axis=1), plan.seg, plan.nbz_out,
+            indices_are_sorted=True,
+        ).reshape(-1, bsz, bsz)
     else:
         prods = jnp.einsum(
             "fij,fjk->fik", a.blocks[plan.a_pos], b.blocks[plan.b_pos],

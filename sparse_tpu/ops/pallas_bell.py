@@ -26,6 +26,10 @@ from functools import partial as _wp_partial
 
 from ..formats.bell import BELL
 
+import numpy as np
+
+_Z = np.int32(0)  # strong-typed index-map constant (python 0 traces as i64 under jax x64)
+
 _wp_dataclass = _wp_dc.dataclass
 
 __all__ = ["bell_spmm_pallas", "bell_spmm_pallas_fused",
@@ -74,13 +78,13 @@ def bell_spmm_pallas(a: BELL, b: jax.Array, *, precision=None,
         grid=(nb, Lb),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, bsz, bsz), lambda r, l, cols: (r, l, 0, 0)
+                (1, 1, bsz, bsz), lambda r, l, cols: (r, l, _Z, _Z)
             ),
             pl.BlockSpec(
-                (1, bsz, k), lambda r, l, cols: (cols[r * Lb + l], 0, 0)
+                (1, bsz, k), lambda r, l, cols: (cols[r * Lb + l], _Z, _Z)
             ),
         ],
-        out_specs=pl.BlockSpec((1, bsz, k), lambda r, l, cols: (r, 0, 0)),
+        out_specs=pl.BlockSpec((1, bsz, k), lambda r, l, cols: (r, _Z, _Z)),
     )
     out = pl.pallas_call(
         _make_kernel(_resolve_precision(precision, out_dtype)),
@@ -188,15 +192,15 @@ def bell_spmm_pallas_fused(a: BELL, b: jax.Array, *,
         # lane-padded to 128 columns and overflow the ~1MB SMEM budget at
         # large nb (measured: (15625, 5) i32 allocates 8MB padded)
         return pl.BlockSpec(
-            (1, bsz, k), lambda r, cols, l=l: (cols[r * Lb + l], 0, 0)
+            (1, bsz, k), lambda r, cols, l=l: (cols[r * Lb + l], _Z, _Z)
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[pl.BlockSpec((1, bsz, Lb * bsz), lambda r, cols: (r, 0, 0))]
+        in_specs=[pl.BlockSpec((1, bsz, Lb * bsz), lambda r, cols: (r, _Z, _Z))]
         + [panel_spec(l) for l in range(Lb)],
-        out_specs=pl.BlockSpec((1, bsz, k), lambda r, cols: (r, 0, 0)),
+        out_specs=pl.BlockSpec((1, bsz, k), lambda r, cols: (r, _Z, _Z)),
     )
     out = pl.pallas_call(
         kernel,
@@ -486,15 +490,15 @@ def bell_spmm_pallas_banded(a: BELL, b: jax.Array, plan: "BandedPlan", *,
             grid=(ntiles // S,),
             in_specs=[
                 pl.BlockSpec(
-                    (S, rt * bsz, W * bsz), lambda t, rel, sup: (t, 0, 0)
+                    (S, rt * bsz, W * bsz), lambda t, rel, sup: (t, _Z, _Z)
                 ),
                 pl.BlockSpec(
                     (pl.Element(SW), pl.Element(bsz), pl.Element(k)),
-                    lambda t, rel, sup: (sup[t], 0, 0),
+                    lambda t, rel, sup: (sup[t], _Z, _Z),
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (S, rt * bsz, k), lambda t, rel, sup: (t, 0, 0)
+                (S, rt * bsz, k), lambda t, rel, sup: (t, _Z, _Z)
             ),
         )
         out = pl.pallas_call(
@@ -522,16 +526,16 @@ def bell_spmm_pallas_banded(a: BELL, b: jax.Array, plan: "BandedPlan", *,
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((1, rt * bsz, W * bsz), lambda t, start: (t, 0, 0)),
+            pl.BlockSpec((1, rt * bsz, W * bsz), lambda t, start: (t, _Z, _Z)),
             # all dims Element (Mosaic: mixing Element/Blocked dims is
             # unsupported); axis-0 offset is in panels = elements of b3,
             # always within [0, nb - W] by plan construction
             pl.BlockSpec(
                 (pl.Element(W), pl.Element(bsz), pl.Element(k)),
-                lambda t, start: (start[t], 0, 0),
+                lambda t, start: (start[t], _Z, _Z),
             ),
         ],
-        out_specs=pl.BlockSpec((1, rt * bsz, k), lambda t, start: (t, 0, 0)),
+        out_specs=pl.BlockSpec((1, rt * bsz, k), lambda t, start: (t, _Z, _Z)),
     )
     out = pl.pallas_call(
         kernel,
@@ -723,17 +727,17 @@ def bell_spmm_pallas_banded_t(a: BELL, bt: jax.Array, kit: "BandedKitT", *,
             grid=(ntiles // S,),
             in_specs=[
                 pl.BlockSpec(
-                    (S, W * bsz, rt * bsz), lambda t, rel, sup: (t, 0, 0)
+                    (S, W * bsz, rt * bsz), lambda t, rel, sup: (t, _Z, _Z)
                 ),
                 pl.BlockSpec(
                     (pl.Element(k), pl.Element(SW * bsz)),
                     lambda t, rel, sup: (
-                        0, pl.multiple_of(sup[t] * bsz, 128)
+                        _Z, pl.multiple_of(sup[t] * bsz, 128)
                     ),
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (k, S * rt * bsz), lambda t, rel, sup: (0, t)
+                (k, S * rt * bsz), lambda t, rel, sup: (_Z, t)
             ),
         )
         out = pl.pallas_call(
@@ -758,7 +762,7 @@ def bell_spmm_pallas_banded_t(a: BELL, bt: jax.Array, kit: "BandedKitT", *,
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((1, W * bsz, rt * bsz), lambda t, start: (t, 0, 0)),
+            pl.BlockSpec((1, W * bsz, rt * bsz), lambda t, start: (t, _Z, _Z)),
             # element-offset window: lane offset start[t]*bsz into B^T.
             # starts are lane_q-aligned by the planner (align_start=True),
             # but Mosaic's window-param check needs the 128-divisibility
@@ -767,10 +771,10 @@ def bell_spmm_pallas_banded_t(a: BELL, bt: jax.Array, kit: "BandedKitT", *,
             # at real compile; jax.export lowering does not catch it)
             pl.BlockSpec(
                 (pl.Element(k), pl.Element(W * bsz)),
-                lambda t, start: (0, pl.multiple_of(start[t] * bsz, 128)),
+                lambda t, start: (_Z, pl.multiple_of(start[t] * bsz, 128)),
             ),
         ],
-        out_specs=pl.BlockSpec((k, rt * bsz), lambda t, start: (0, t)),
+        out_specs=pl.BlockSpec((k, rt * bsz), lambda t, start: (_Z, t)),
     )
     out = pl.pallas_call(
         kernel,

@@ -53,6 +53,8 @@ __all__ = [
 _G = 24  # product pairs per grid step (chip sweep: 338 GFLOP/s at g=24)
 _SLAB_BYTES = 512 * 1024  # target output-slab footprint -> default p
 _SMEM_BUDGET = 700_000  # bytes of scalar-prefetch tables per pallas_call
+_Z = np.int32(0)  # strong-typed index-map constant: under jax x64 a
+# python literal 0 traces as i64 and Mosaic rejects the mixed index tuple
 
 
 @partial(
@@ -271,13 +273,13 @@ def _run_slabs(pplan: BsrPallasPlan, z1: jax.Array, z2: jax.Array,
         def aspec(i):
             return pl.BlockSpec(
                 (1, bsz, bsz),
-                lambda t, ai, bi, ol, fr, sl, i=i: (ai[t * g + i], 0, 0),
+                lambda t, ai, bi, ol, fr, sl, i=i: (ai[t * g + i], _Z, _Z),
             )
 
         def bspec(i):
             return pl.BlockSpec(
                 (1, bsz, bsz),
-                lambda t, ai, bi, ol, fr, sl, i=i: (bi[t * g + i], 0, 0),
+                lambda t, ai, bi, ol, fr, sl, i=i: (bi[t * g + i], _Z, _Z),
             )
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -287,7 +289,7 @@ def _run_slabs(pplan: BsrPallasPlan, z1: jax.Array, z2: jax.Array,
             + [bspec(i) for i in range(g)],
             out_specs=pl.BlockSpec(
                 (p, bsz, bsz),
-                lambda t, ai, bi, ol, fr, sl: (sl[t], 0, 0),
+                lambda t, ai, bi, ol, fr, sl: (sl[t], _Z, _Z),
             ),
         )
         out = pl.pallas_call(

@@ -45,6 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.csr import CSR
 
+_Z = np.int32(0)  # strong-typed index-map constant (python 0 traces as i64 under jax x64)
+
 __all__ = [
     "SegTilePlan",
     "build_seg_tiles",
@@ -422,6 +424,21 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
     # (per-tile conditionals): 20.0 ms — the conditionals defeat Mosaic
     # pipelining.  R=32 shares one window slice + one output RMW across 4
     # vreg-rows of slots (round 4).
+    def _take_sublane(src, idx):
+        """int32-safe ``take_along_axis(src, idx, axis=0)`` on (8, 128)
+        tiles.  ``jnp.take_along_axis`` hard-casts indices to int64 under
+        jax x64 (its negative-index fixup), which Mosaic cannot lower;
+        this emits the identical gather with the int32 indices as-is (the
+        plan guarantees 0 <= idx < 8, so the fixup is dead code)."""
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,),
+            operand_batching_dims=(1,), start_indices_batching_dims=(1,),
+        )
+        return jax.lax.gather(
+            src, idx[..., None], dnums, (1, 1),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+
     def _gathered(seg, q, gi):
         """Product operand vreg gi of a tile: window values selected by the
         sublane pointers.  Mosaic's dynamic gather requires indices.shape ==
@@ -432,11 +449,11 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
         plan guarantees q < 8)."""
         qg = q[gi * 8:(gi + 1) * 8]
         if wsub == 8:
-            return jnp.take_along_axis(seg[0:8], qg, axis=0)
+            return _take_sublane(seg[0:8], qg)
         qm = qg & 7
-        gx = jnp.take_along_axis(seg[0:8], qm, axis=0)
+        gx = _take_sublane(seg[0:8], qm)
         for c in range(1, wsub // 8):
-            gc = jnp.take_along_axis(seg[c * 8:(c + 1) * 8], qm, axis=0)
+            gc = _take_sublane(seg[c * 8:(c + 1) * 8], qm)
             gx = jnp.where(qg >= c * 8, gc, gx)
         return gx
 
@@ -518,11 +535,11 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
             num_scalar_prefetch=2,
             grid=(ng,),
             in_specs=[
-                pl.BlockSpec((kstep, R, _LANES), lambda g, so, rbl: (g, 0, 0)),
-                pl.BlockSpec((kstep, R, _LANES), lambda g, so, rbl: (g, 0, 0)),
-                pl.BlockSpec(v2.shape, lambda g, so, rbl: (0, 0)),
+                pl.BlockSpec((kstep, R, _LANES), lambda g, so, rbl: (g, _Z, _Z)),
+                pl.BlockSpec((kstep, R, _LANES), lambda g, so, rbl: (g, _Z, _Z)),
+                pl.BlockSpec(v2.shape, lambda g, so, rbl: (_Z, _Z)),
             ],
-            out_specs=pl.BlockSpec((nbR, R), lambda g, so, rbl: (0, 0)),
+            out_specs=pl.BlockSpec((nbR, R), lambda g, so, rbl: (_Z, _Z)),
             scratch_shapes=scratch_shapes,
         )
         out = pl.pallas_call(

@@ -267,14 +267,16 @@ def _spgemm_route(a: CSR, b_rows: CSR,
         nnz_a = int(np.asarray(a.indptr)[-1])
         nnz_b = int(np.asarray(b_rows.indptr)[-1])
         if min(nnz_a, nnz_b) >= _BLOCK_ROUTE_MIN_NNZ:
+            import jax
+
             from ..formats.bsr import BSR_MAX_NB
             from ..utils.stats import csr_block_fill
 
             for bsz in _BLOCK_ROUTE_CANDIDATES:
-                # nb must also fit BSR's int32 flattened block coordinates
-                # (n=400k at bsz=2 would overflow; shard such problems via
-                # sparse_tpu.parallel instead)
-                if n % bsz or n // bsz > BSR_MAX_NB:
+                # beyond the int32 block-coordinate range BSR needs wide
+                # (int64) indices, which require jax x64 mode
+                if n % bsz or (n // bsz > BSR_MAX_NB
+                               and not jax.config.jax_enable_x64):
                     continue
                 if (csr_block_fill(a, bsz) == 1.0
                         and csr_block_fill(b_rows, bsz) == 1.0):
