@@ -287,12 +287,24 @@ def _spgemm_route(a: CSR, b_rows: CSR,
 def _spgemm_block(a: CSR, b_rows: CSR, bsz: int, compact: bool) -> CSR:
     """Block-routed SpGEMM: re-block both operands, multiply on the MXU
     block path, return to scalar CSR keeping every stored block position
-    (exact reference structure under the full-fill routing precondition)."""
-    from ..formats.bsr import bsr_smsmm, bsr_to_csr, csr_to_bsr
+    (exact reference structure under the full-fill routing precondition).
+
+    Uses the prepare/apply pair rather than the one-shot device core: the
+    route is eager anyway (host-sync'd stats), the host symbolic pass is
+    cheaper than the device expand-sort at these sizes, and the numeric
+    pass gets the small-block flat layout / Pallas DMA kernel instead of
+    the (F, bsz, bsz) einsum stream whose tile padding OOMs at real sizes
+    (docs/performance.md "Small-block apply")."""
+    from ..formats.bsr import (
+        bsr_smsmm_apply,
+        bsr_smsmm_prepare,
+        bsr_to_csr,
+        csr_to_bsr,
+    )
 
     ab = csr_to_bsr(a, bsz, compact=True)
     bb = csr_to_bsr(b_rows, bsz, compact=True)
-    out = bsr_to_csr(bsr_smsmm(ab, bb, compact=True))
+    out = bsr_to_csr(bsr_smsmm_apply(bsr_smsmm_prepare(ab, bb), ab, bb))
     if compact:
         from ..formats.csr import csr_compact
 
