@@ -681,29 +681,30 @@ def bsr_smsmm_apply(plan: BsrSmsmmPlan, a: BSR, b: BSR) -> BSR:
     (values may change, block structure must not).  jit-compatible,
     sort-free, deterministic.
 
-    Small blocks (bsz <= 4) multiply in a FLAT (F, bsz^2) layout with the
-    bsz^3 products unrolled elementwise: a 3-D (F, bsz, bsz) stream would
-    be (sublane, lane)-tile-padded up to 64x (measured: three 9.7 GB HBM
-    temps for 155 MB of bsz=2 data — an instant OOM at real sizes), while
-    flat rows pad ~1x.  Larger blocks keep the batched MXU einsum (4x pad
-    at bsz=32; use :func:`~sparse_tpu.ops.pallas_bsr.bsr_smsmm_apply_pallas`
-    to avoid materializing the streams entirely)."""
+    Small blocks (bsz <= 8) multiply in a FLAT (F, bsz^2) layout — a
+    shared-k outer-product loop of repeat/tile elementwise FMAs: a 3-D
+    (F, bsz, bsz) stream would be (sublane, lane)-tile-padded up to 64x
+    (measured: three 9.7 GB HBM temps for 155 MB of bsz=2 data — an
+    instant OOM at real sizes; 16x at bsz=8), while flat rows pad ~1x.
+    Larger blocks keep the batched MXU einsum (4x pad at bsz=32; use
+    :func:`~sparse_tpu.ops.pallas_bsr.bsr_smsmm_apply_pallas` to avoid
+    materializing the streams entirely)."""
     out_dtype = jnp.result_type(a.dtype, b.dtype)
     bsz = plan.bsz
     if plan.n_products == 0:
         blocks = jnp.zeros((plan.nbz_out, bsz, bsz), out_dtype)
-    elif bsz <= 4:
+    elif bsz <= 8:
         b2 = bsz * bsz
         fa = a.blocks.reshape(-1, b2)[plan.a_pos].astype(out_dtype)
         fb = b.blocks.reshape(-1, b2)[plan.b_pos].astype(out_dtype)
-        cols = [
-            sum(fa[:, i * bsz + k] * fb[:, k * bsz + j]
-                for k in range(bsz))
-            for i in range(bsz) for j in range(bsz)
-        ]
+        # prods[:, i*bsz+j] = sum_k fa[:, i*bsz+k] * fb[:, k*bsz+j]
+        prods = sum(
+            jnp.repeat(fa[:, k::bsz], bsz, axis=1)
+            * jnp.tile(fb[:, k * bsz:(k + 1) * bsz], (1, bsz))
+            for k in range(bsz)
+        )
         blocks = segment_sum(
-            jnp.stack(cols, axis=1), plan.seg, plan.nbz_out,
-            indices_are_sorted=True,
+            prods, plan.seg, plan.nbz_out, indices_are_sorted=True,
         ).reshape(-1, bsz, bsz)
     else:
         prods = jnp.einsum(
