@@ -26,8 +26,9 @@ from sparse_tpu.ops.spmv import build_spmv_plan, csr_smvm_fast
 # quick cases cover the regimes (degenerate, rectangular both ways, sparse
 # and dense fill); the rest are breadth-only and run with -m slow (each
 # distinct shape-set costs ~25 s of XLA compiles on this host)
-CASES = [(1, 1, 1.0), (31, 17, 0.33), (64, 64, 0.02)]
-SLOW_CASES = [(5, 40, 0.9), (2, 7, 0.5), (13, 13, 0.08), (40, 5, 0.15)]
+CASES = [(1, 1, 1.0), (31, 17, 0.33)]
+SLOW_CASES = [(64, 64, 0.02), (5, 40, 0.9), (2, 7, 0.5), (13, 13, 0.08),
+              (40, 5, 0.15)]
 
 
 @pytest.mark.parametrize(
@@ -85,9 +86,11 @@ def test_bsr_bell_consistency(nb, bsz, density):
     )
 
 
-@pytest.mark.parametrize("n,m,k,da,db", [(17, 23, 11, 0.25, 0.2),
-                                         (40, 8, 31, 0.1, 0.5),
-                                         (9, 9, 9, 0.6, 0.6)])
+@pytest.mark.parametrize("n,m,k,da,db", [
+    (17, 23, 11, 0.25, 0.2),
+    pytest.param(40, 8, 31, 0.1, 0.5, marks=pytest.mark.slow),
+    (9, 9, 9, 0.6, 0.6),
+])
 def test_spgemm_plan_consistency(n, m, k, da, db):
     # prepare/apply vs eager spgemm vs dense oracle, plus one value update
     import dataclasses as dc

@@ -88,8 +88,14 @@ def test_rcm_native_matches_numpy_fallback():
         (120, 0.02, False),     # sparse enough for several components
         (40, 0.0, False),       # empty: every node its own component
     ]:
-        a, _ = _random_csr(rng, n, n, density=density, symmetric=symmetric)
-        indptr, cols = _host_structure(a)
+        # host-only structure (the test compares two HOST implementations;
+        # a device CSR build would pay one XLA compile per shape)
+        d = (rng.random((n, n)) < density)
+        if symmetric:
+            d = d | d.T
+        s = sp.csr_matrix(d)
+        indptr = s.indptr.astype(np.int32)
+        cols = s.indices.astype(np.int32)
         native = plansort.rcm_order(indptr, cols)
         if native is None:
             pytest.skip("native plan core unavailable")
