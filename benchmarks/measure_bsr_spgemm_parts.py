@@ -191,9 +191,10 @@ if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "grad":
 
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "pallas":
     _nb = [int(x[3:]) for x in sys.argv[2:] if x.startswith("nb=")]
+    _pos = [x for x in sys.argv[2:] if not x.startswith("nb=") and x != "check"]
     main_pallas(
-        int(sys.argv[2]) if len(sys.argv) > 2 else 8,
-        int(sys.argv[3]) if len(sys.argv) > 3 else 16,
-        check="check" in sys.argv[4:],
+        int(_pos[0]) if _pos else 8,
+        int(_pos[1]) if len(_pos) > 1 else 16,
+        check="check" in sys.argv[2:],
         nb=_nb[0] if _nb else 2_000,
     )

@@ -432,7 +432,26 @@ def csr_to_bsr(a, bsz: int, nbz: int | None = None,
     check ``utils.stats.matrix_stats`` first.  jit-compatible when ``nbz``
     is given (``compact=False``); eager by default."""
     if nbz is None:
-        return _csr_to_bsr_host(a, bsz)
+        out = _csr_to_bsr_host(a, bsz)
+        if not compact:
+            # preserve the documented padded capacity (one slot per scalar
+            # entry) for callers that keep filling blocks
+            nse = int(np.asarray(a.indptr)[-1]) if a.indptr.shape[0] else 0
+            pad = nse - out.nbz
+            if pad > 0:
+                out = BSR(
+                    indices=jnp.concatenate([
+                        out.indices,
+                        jnp.full((pad,), out.sentinel, out.indices.dtype),
+                    ]),
+                    blocks=jnp.concatenate([
+                        out.blocks,
+                        jnp.zeros((pad, bsz, bsz), out.blocks.dtype),
+                    ]),
+                    n=out.n,
+                    bsz=bsz,
+                )
+        return out
     from .csr import csr_to_coo
 
     out = bsr_from_coo(csr_to_coo(a), bsz, nbz=nbz)

@@ -25,10 +25,9 @@ import dataclasses as _wp_dc
 from functools import partial as _wp_partial
 
 from ..formats.bell import BELL
+from .segmented import IDXMAP_ZERO as _Z
 
-import numpy as np
 
-_Z = np.int32(0)  # strong-typed index-map constant (python 0 traces as i64 under jax x64)
 
 _wp_dataclass = _wp_dc.dataclass
 

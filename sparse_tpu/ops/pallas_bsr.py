@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.bsr import BSR, BsrSmsmmPlan
+from .segmented import IDXMAP_ZERO as _Z
 
 __all__ = [
     "BsrPallasPlan",
@@ -53,8 +54,7 @@ __all__ = [
 _G = 24  # product pairs per grid step (chip sweep: 338 GFLOP/s at g=24)
 _SLAB_BYTES = 512 * 1024  # target output-slab footprint -> default p
 _SMEM_BUDGET = 700_000  # bytes of scalar-prefetch tables per pallas_call
-_Z = np.int32(0)  # strong-typed index-map constant: under jax x64 a
-# python literal 0 traces as i64 and Mosaic rejects the mixed index tuple
+
 
 
 @partial(
@@ -109,11 +109,28 @@ def _schedule(out_pos, s1_pos, s2_pos, pad1, pad2, n_out, indices,
     s1_s = np.asarray(s1_pos, np.int64)[order]
     s2_s = np.asarray(s2_pos, np.int64)[order]
     F = out_s.size
-    nslabs = max(-(-n_out // p), 1)
-    slab_of_prod = out_s // p if F else np.zeros(0, np.int64)
-    counts = np.bincount(slab_of_prod, minlength=nslabs) if F else \
-        np.zeros(nslabs, np.int64)
-    steps_per = -(-np.maximum(counts, 1) // g)
+    step_cap = max(_SMEM_BUDGET // ((3 * g + 2) * 4), 256)
+    while True:
+        nslabs = max(-(-n_out // p), 1)
+        slab_of_prod = out_s // p if F else np.zeros(0, np.int64)
+        counts = np.bincount(slab_of_prod, minlength=nslabs) if F else \
+            np.zeros(nslabs, np.int64)
+        steps_per = -(-np.maximum(counts, 1) // g)
+        # chunks split only on slab boundaries (each pallas_call owns a
+        # contiguous output range), so no single slab may exceed the
+        # SMEM-budgeted steps-per-call cap: shrink the slab size until it
+        # fits (denser patterns -> fewer outputs per slab)
+        if int(steps_per.max(initial=1)) <= step_cap:
+            break
+        if p == 1:
+            raise ValueError(
+                f"bsr_smsmm_pallas_prepare: one output block has "
+                f"{int(counts.max())} products — more than the "
+                f"{step_cap * g} a single pallas_call's scalar-prefetch "
+                f"SMEM budget covers even at p=1; use bsr_smsmm_apply "
+                f"for this pattern"
+            )
+        p = max(p // 2, 1)
     sstarts = np.zeros(nslabs + 1, np.int64)
     np.cumsum(steps_per, out=sstarts[1:])
     S = int(sstarts[-1])
@@ -134,7 +151,6 @@ def _schedule(out_pos, s1_pos, s2_pos, pad1, pad2, n_out, indices,
 
     # chunk on slab boundaries so each call owns a contiguous output range;
     # chunk length is SMEM-budgeted: the prefetch tables cost (3g+2)*4 B/step
-    step_cap = max(_SMEM_BUDGET // ((3 * g + 2) * 4), 256)
     chunks = []
     s0 = 0
     while s0 < S:

@@ -44,8 +44,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.csr import CSR
+from .segmented import IDXMAP_ZERO as _Z
 
-_Z = np.int32(0)  # strong-typed index-map constant (python 0 traces as i64 under jax x64)
+
 
 __all__ = [
     "SegTilePlan",

@@ -24,6 +24,11 @@ import jax.numpy as jnp
 # integers; matrices with >2**31 stored elements per shard are out of scope.
 INDEX_DTYPE = jnp.int32
 
+IDXMAP_ZERO = __import__("numpy").int32(0)
+"""Strong-typed constant for Pallas BlockSpec index-map components: a
+python literal 0 traces as a weak i64 under jax x64 and Mosaic rejects
+the mixed index tuple (docs/performance.md \"x64 hardening\")."""
+
 
 def asindex(x) -> jax.Array:
     return jnp.asarray(x, dtype=INDEX_DTYPE)

@@ -155,6 +155,5 @@ def test_narrow_unaffected():
     # matrices within the int32 range keep int32 indices
     a = st.bsr_eye(64, 8)
     assert a.indices.dtype == jnp.int32
-    b, _ = None, None
     m = st.bsr_make(64, 8, [(0, 1, np.ones((8, 8))), (3, 2, np.eye(8))])
     assert m.indices.dtype == jnp.int32

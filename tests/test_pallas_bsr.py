@@ -92,6 +92,60 @@ def test_chunk_boundaries():
         )
 
 
+def test_oversized_slab_shrinks_p_or_raises():
+    # a dense block-row x dense block-column pair concentrates every
+    # product on ONE output block; with a tiny SMEM budget the scheduler
+    # must shrink p so no slab exceeds a single call's step cap, and
+    # raise a clear error when even p=1 cannot fit
+    from sparse_tpu.ops import pallas_bsr as pb
+
+    bsz, nb = 8, 40
+    # A: one stored block row 0 (all columns); B: one stored column 0
+    a = BSR(
+        indices=jnp.asarray(np.arange(nb), INDEX_DTYPE),
+        blocks=jnp.asarray(
+            np.random.default_rng(0).standard_normal((nb, bsz, bsz))
+            .astype(np.float32)),
+        n=nb * bsz, bsz=bsz,
+    )
+    b = BSR(
+        indices=jnp.asarray(np.arange(nb) * nb, INDEX_DTYPE),
+        blocks=jnp.asarray(
+            np.random.default_rng(1).standard_normal((nb, bsz, bsz))
+            .astype(np.float32)),
+        n=nb * bsz, bsz=bsz,
+    )
+    plan = bsr_smsmm_prepare(a, b)
+    assert plan.n_products == nb and plan.nbz_out == 1
+    pp = bsr_smsmm_pallas_prepare(plan, a.nbz, b.nbz, g=2, p=16)
+    ref = bsr_smsmm_apply(plan, a, b)
+    got = bsr_smsmm_apply_pallas(pp, a, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.blocks),
+                               np.asarray(ref.blocks), rtol=2e-5, atol=2e-5)
+    # force the 256-step cap floor (default budget caps at 21875 for g=2)
+    old = pb._SMEM_BUDGET
+    try:
+        pb._SMEM_BUDGET = 1
+        # shrink: 4 outputs x 200 products in one p=16 slab = 400 steps
+        # at g=2 > the 256-step cap -> p must halve until each slab fits
+        sched = pb._schedule(
+            np.repeat(np.arange(4, dtype=np.int64), 200),
+            np.zeros(800, np.int64), np.zeros(800, np.int64),
+            1, 1, 4, jnp.zeros(4, jnp.int32), 2, 16, bsz, bsz,
+        )
+        assert sched.p < 16
+        assert max(c[1] - c[0] for c in sched.chunks) <= 256
+        # impossible: one output with more products than cap*g even at p=1
+        with pytest.raises(ValueError, match="use bsr_smsmm_apply"):
+            pb._schedule(
+                np.zeros(600, np.int64),  # 600 products, one output
+                np.zeros(600, np.int64), np.zeros(600, np.int64),
+                1, 1, 1, jnp.zeros(1, jnp.int32), 2, 16, bsz, bsz,
+            )
+    finally:
+        pb._SMEM_BUDGET = old
+
+
 def test_value_update_under_jit():
     # prepare once, apply twice with different values (the prepare/apply
     # contract: block structure static, values free)
