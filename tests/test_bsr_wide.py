@@ -151,6 +151,23 @@ def test_spgemm_auto_routes_wide():
     assert abs(got - ref).max() < 1e-10
 
 
+def test_bell_from_wide_bsr():
+    # BELL stores per-axis block-column ids (no flattened coordinate), so
+    # the SpMV fast path must work beyond the int32 nb range too
+    from sparse_tpu.formats.bell import bell_from_bsr, bell_smvm
+
+    a, entries = wide_bsr(seed=9, nblk=8)
+    bell = bell_from_bsr(a)
+    v = np.random.default_rng(10).standard_normal(N)
+    ref = np.zeros(N)
+    for r, c, blk in entries:
+        ref[r * BSZ:(r + 1) * BSZ] += np.asarray(blk) @ v[c * BSZ:(c + 1) * BSZ]
+    np.testing.assert_allclose(
+        np.asarray(bell_smvm(bell, jnp.asarray(v))), ref, rtol=1e-12,
+        atol=1e-12,
+    )
+
+
 def test_narrow_unaffected():
     # matrices within the int32 range keep int32 indices
     a = st.bsr_eye(64, 8)
