@@ -194,24 +194,32 @@ def _merge_blocks(n: int, bsz: int, idxs: jax.Array, blocks: jax.Array) -> BSR:
     nbz = idxs.shape[0]
     if nbz == 0:
         return BSR(indices=idxs, blocks=blocks, n=n, bsz=bsz)
+    # small blocks reorder/scatter in a FLAT (nbz, bsz^2) layout: XLA
+    # tile-pads (N, bsz, bsz) gather/scatter temps up to 64x at bsz=2
+    # (docs/performance.md "Small-block apply"), flat rows pad ~1x
+    flat = bsz <= 8
+    vals = blocks.reshape(nbz, bsz * bsz) if flat else blocks
     order = jnp.argsort(idxs, stable=True)
     idxs = idxs[order]
-    blocks = blocks[order]
+    vals = vals[order]
     valid = idxs < sentinel
     is_head = jnp.concatenate(
         [jnp.ones((1,), bool), idxs[1:] != idxs[:-1]]
     ) & valid
     group = jnp.cumsum(is_head.astype(INDEX_DTYPE)) - 1
     target = jnp.where(valid, group, nbz)
-    out_blocks = jnp.zeros_like(blocks).at[target].add(blocks, mode="drop")
+    out_vals = jnp.zeros_like(vals).at[target].add(vals, mode="drop")
     out_idx = jnp.full((nbz,), sentinel, idxs.dtype).at[
         jnp.where(is_head, group, nbz)
     ].set(idxs, mode="drop")
     # zero any block in padding slots (slots never written stay zero)
     k = jnp.sum(is_head.astype(INDEX_DTYPE))
     pos = jnp.arange(nbz, dtype=INDEX_DTYPE)
-    out_blocks = jnp.where((pos < k)[:, None, None], out_blocks, 0)
-    return BSR(indices=out_idx, blocks=out_blocks, n=n, bsz=bsz)
+    mask = (pos < k)[:, None] if flat else (pos < k)[:, None, None]
+    out_vals = jnp.where(mask, out_vals, 0)
+    if flat:
+        out_vals = out_vals.reshape(nbz, bsz, bsz)
+    return BSR(indices=out_idx, blocks=out_vals, n=n, bsz=bsz)
 
 
 # -- constructors -------------------------------------------------------------
@@ -608,11 +616,23 @@ def bsr_smsmm_core(a: BSR, b: BSR, expansion_nbz: int) -> BSR:
     e = jnp.where(live, elem_ids, 0)
     b_pos = b_row_ptr[jnp.minimum(a_c[e], nb - 1)].astype(INDEX_DTYPE) + inner
     b_pos = jnp.minimum(b_pos, max(b.nbz - 1, 0))
-    prods = jnp.einsum(
-        "fij,fjk->fik", a.blocks[e], b.blocks[b_pos],
-        preferred_element_type=out_dtype,
-        precision=matmul_precision(a.dtype, b.dtype),
-    )
+    if bsz <= 8:
+        # flat gathered streams + shared-k outer products (same padding
+        # rationale as bsr_smsmm_apply's small-block path)
+        b2 = bsz * bsz
+        fa = a.blocks.reshape(-1, b2)[e].astype(out_dtype)
+        fb = b.blocks.reshape(-1, b2)[b_pos].astype(out_dtype)
+        prods = sum(
+            jnp.repeat(fa[:, kk::bsz], bsz, axis=1)
+            * jnp.tile(fb[:, kk * bsz:(kk + 1) * bsz], (1, bsz))
+            for kk in range(bsz)
+        ).reshape(-1, bsz, bsz)
+    else:
+        prods = jnp.einsum(
+            "fij,fjk->fik", a.blocks[e], b.blocks[b_pos],
+            preferred_element_type=out_dtype,
+            precision=matmul_precision(a.dtype, b.dtype),
+        )
     idt = _bidx_dtype(nb)
     target = jnp.where(
         live & valid_a[e], a_r[e].astype(idt) * nb + b_c[b_pos], nb * nb
