@@ -571,6 +571,28 @@ def _check_compat(a: BSR, b: BSR, op: str) -> None:
 # -- matmul -------------------------------------------------------------------
 
 
+def _flat_block_products(fa, fb, bsz: int, out_dtype) -> jax.Array:
+    """Batched block products in the FLAT (F, bsz^2) layout:
+    ``prods[:, i*bsz+j] = sum_k fa[:, i*bsz+k] * fb[:, k*bsz+j]`` via a
+    shared-k outer-product loop of repeat/tile elementwise FMAs.
+
+    Used for bsz <= 8, where a 3-D (F, bsz, bsz) einsum stream would be
+    (sublane, lane)-tile-padded 16-64x (docs/performance.md "Small-block
+    apply").  The k-sum accumulates in f32 for sub-f32 dtypes — matching
+    the MXU einsum's hardware f32 accumulate + single final rounding —
+    and the result is cast to ``out_dtype``."""
+    acc = (jnp.float32 if jnp.issubdtype(out_dtype, jnp.floating)
+           and jnp.finfo(out_dtype).bits < 32 else out_dtype)
+    fa = fa.astype(acc)
+    fb = fb.astype(acc)
+    prods = sum(
+        jnp.repeat(fa[:, k::bsz], bsz, axis=1)
+        * jnp.tile(fb[:, k * bsz:(k + 1) * bsz], (1, bsz))
+        for k in range(bsz)
+    )
+    return prods.astype(out_dtype)
+
+
 def bsr_smvm(a: BSR, v: jax.Array) -> jax.Array:
     """Block sparse matrix-vector product: batched block matvec + block-row
     segment-sum (reference ``smvm``, blocked_square_regular.fut:307-331).
@@ -617,15 +639,10 @@ def bsr_smsmm_core(a: BSR, b: BSR, expansion_nbz: int) -> BSR:
     b_pos = b_row_ptr[jnp.minimum(a_c[e], nb - 1)].astype(INDEX_DTYPE) + inner
     b_pos = jnp.minimum(b_pos, max(b.nbz - 1, 0))
     if bsz <= 8:
-        # flat gathered streams + shared-k outer products (same padding
-        # rationale as bsr_smsmm_apply's small-block path)
-        b2 = bsz * bsz
-        fa = a.blocks.reshape(-1, b2)[e].astype(out_dtype)
-        fb = b.blocks.reshape(-1, b2)[b_pos].astype(out_dtype)
-        prods = sum(
-            jnp.repeat(fa[:, kk::bsz], bsz, axis=1)
-            * jnp.tile(fb[:, kk * bsz:(kk + 1) * bsz], (1, bsz))
-            for kk in range(bsz)
+        prods = _flat_block_products(
+            a.blocks.reshape(a.nbz, -1)[e],
+            b.blocks.reshape(b.nbz, -1)[b_pos],
+            bsz, out_dtype,
         ).reshape(-1, bsz, bsz)
     else:
         prods = jnp.einsum(
@@ -733,14 +750,10 @@ def bsr_smsmm_apply(plan: BsrSmsmmPlan, a: BSR, b: BSR) -> BSR:
     if plan.n_products == 0:
         blocks = jnp.zeros((plan.nbz_out, bsz, bsz), out_dtype)
     elif bsz <= 8:
-        b2 = bsz * bsz
-        fa = a.blocks.reshape(-1, b2)[plan.a_pos].astype(out_dtype)
-        fb = b.blocks.reshape(-1, b2)[plan.b_pos].astype(out_dtype)
-        # prods[:, i*bsz+j] = sum_k fa[:, i*bsz+k] * fb[:, k*bsz+j]
-        prods = sum(
-            jnp.repeat(fa[:, k::bsz], bsz, axis=1)
-            * jnp.tile(fb[:, k * bsz:(k + 1) * bsz], (1, bsz))
-            for k in range(bsz)
+        prods = _flat_block_products(
+            a.blocks.reshape(a.nbz, -1)[plan.a_pos],
+            b.blocks.reshape(b.nbz, -1)[plan.b_pos],
+            bsz, out_dtype,
         )
         blocks = segment_sum(
             prods, plan.seg, plan.nbz_out, indices_are_sorted=True,

@@ -18,13 +18,14 @@ shapes -- that is the key re-design for XLA/TPU.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 # Index dtype used throughout the library.  TPUs natively operate on 32-bit
 # integers; matrices with >2**31 stored elements per shard are out of scope.
 INDEX_DTYPE = jnp.int32
 
-IDXMAP_ZERO = __import__("numpy").int32(0)
+IDXMAP_ZERO = np.int32(0)
 """Strong-typed constant for Pallas BlockSpec index-map components: a
 python literal 0 traces as a weak i64 under jax x64 and Mosaic rejects
 the mixed index tuple (docs/performance.md \"x64 hardening\")."""

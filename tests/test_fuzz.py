@@ -23,12 +23,11 @@ from sparse_tpu.formats.bell import bell_from_bsr, bell_smvm, bell_todense
 from sparse_tpu.ops.spmv import build_spmv_plan, csr_smvm_fast
 
 
-# quick cases cover the regimes (degenerate, rectangular both ways, sparse
-# and dense fill); the rest are breadth-only and run with -m slow (each
-# distinct shape-set costs ~25 s of XLA compiles on this host)
-CASES = [(1, 1, 1.0), (31, 17, 0.33)]
-SLOW_CASES = [(64, 64, 0.02), (5, 40, 0.9), (2, 7, 0.5), (13, 13, 0.08),
-              (40, 5, 0.15)]
+# quick cases cover the regimes (degenerate, rectangular, sparse and
+# dense fill); the rest are breadth-only and run with -m slow (each
+# distinct shape-set costs ~10-25 s of XLA compiles on this host)
+CASES = [(1, 1, 1.0), (31, 17, 0.33), (13, 13, 0.08)]
+SLOW_CASES = [(64, 64, 0.02), (5, 40, 0.9), (2, 7, 0.5), (40, 5, 0.15)]
 
 
 @pytest.mark.parametrize(
