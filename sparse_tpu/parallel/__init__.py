@@ -32,6 +32,14 @@ from .pbell import (  # noqa: F401
     pbell_smvm,
     pbell_spmm,
 )
+from .pbsr import (  # noqa: F401
+    PBSR,
+    PBsrSmsmmPlan,
+    build_pbsr_smsmm_plan,
+    pbsr_from_bsr,
+    pbsr_smsmm,
+    pbsr_to_bsr,
+)
 from .pspgemm import (  # noqa: F401
     PSpGEMMPlan,
     PTransposePlan,
