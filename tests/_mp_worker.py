@@ -72,4 +72,39 @@ sol = cg_solve(a, vs, mesh, iters=60)
 resid = pcsr_spmv(a, sol, mesh)
 check_local_shards(resid, spd @ np.linalg.solve(spd, v), rtol=1e-2, atol=1e-2)
 
+# distributed BLOCK SpGEMM over the same multi-controller mesh: the plan
+# tables and shards all flow through put_sharded's process-local path
+from sparse_tpu.formats.bsr import bsr_from_dense, bsr_todense  # noqa: E402
+from sparse_tpu.parallel import (  # noqa: E402
+    build_pbsr_smsmm_plan,
+    pbsr_from_bsr,
+    pbsr_smsmm,
+)
+
+bsz = 4
+nb = n // bsz
+bmask = np.kron(rng.random((nb, nb)) < 0.4, np.ones((bsz, bsz)))
+bx = (bmask * rng.standard_normal((n, n))).astype(np.float32)
+ab = bsr_from_dense(jnp.asarray(bx), bsz)
+pab = pbsr_from_bsr(ab, mesh)
+bplan = build_pbsr_smsmm_plan(pab, pab, mesh)
+# no outer jit: pbsr_smsmm's exec is module-jitted, and an outer wrap
+# would capture the plan as a closure constant (replicated output shards)
+pc = pbsr_smsmm(pab, pab, mesh, bplan)
+ref_blocks = bx @ bx
+rb = pc.rows_per_shard
+# value check: each local output shard's blocks against the dense oracle
+for sh_i, sh_b in zip(pc.indices.addressable_shards,
+                      pc.blocks.addressable_shards):
+    s = sh_i.index[0].start or 0
+    li = np.asarray(sh_i.data).reshape(-1)
+    lb = np.asarray(sh_b.data).reshape(-1, bsz, bsz)
+    for j, code in enumerate(li):
+        if code >= rb * nb:
+            continue
+        r_l, c = int(code) // nb, int(code) % nb
+        r_g = s * rb + r_l
+        want = ref_blocks[r_g * bsz:(r_g + 1) * bsz, c * bsz:(c + 1) * bsz]
+        np.testing.assert_allclose(lb[j], want, rtol=2e-4, atol=2e-4)
+
 print(f"MP_OK {pid}", flush=True)
