@@ -443,8 +443,10 @@ def csr_to_bsr(a, bsz: int, nbz: int | None = None,
         out = _csr_to_bsr_host(a, bsz)
         if not compact:
             # preserve the documented padded capacity (one slot per scalar
-            # entry) for callers that keep filling blocks
-            nse = int(np.asarray(a.indptr)[-1]) if a.indptr.shape[0] else 0
+            # SLOT, including the CSR's padding slots — matching the device
+            # path's csr_to_coo capacity) for callers that keep filling
+            # blocks
+            nse = int(a.data.shape[0])
             pad = nse - out.nbz
             if pad > 0:
                 out = BSR(

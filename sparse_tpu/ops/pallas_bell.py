@@ -631,9 +631,12 @@ def bell_banded_prepare_t(a: BELL, row_tile: int | None = None,
                           slot_valid=None) -> "BandedKitT | None":
     """Eager prepare for the transposed small-k banded kernel.
 
-    ``row_tile=None`` picks the largest rt <= 8 with ``rt*bsz`` a multiple
-    of 128 dividing nb (the kernel's output minor dim must be 128-aligned);
-    returns None when none exists or the pattern is not banded."""
+    ``row_tile=None`` picks the SMALLEST rt with ``rt*bsz`` a multiple of
+    128 (the kernel's output minor dim must be 128-aligned; rt need not
+    divide nb — a non-dividing rt just pads the plan).  Smallest wins
+    because the window width W, and with it the densified-tile traffic,
+    grows ~linearly with rt (see the inline note below).  Returns None when
+    the explicit rt is misaligned or the pattern is not banded."""
     import math
 
     nb, bsz = a.nb, a.bsz

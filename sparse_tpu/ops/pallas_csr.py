@@ -390,14 +390,12 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
     rebuild after updating ``a.data``).
 
     ``reduce``: how per-tile products become row sums.
-    ``"mxu"`` (default): products accumulate into a per-step VMEM scratch;
-    ONE ``(kstep*R, 128) @ (128, 8)`` all-ones matmul (f32 HIGHEST — exact,
-    the rhs's bf16 split is lossless) reduces every tile's lanes in a
-    single MXU issue, and one cheap value transpose turns the column of
-    sums into lane-major rows for the output RMWs — no cross-lane VPU
-    shuffles at all.  ``"vpu"``: the round-2/3 per-vreg ``jnp.sum`` lane
-    reduce (measured ~46-55 ns/vreg ON the reduce+relayout critical path —
-    kept for A/B measurement)."""
+    ``"vpu"`` (default, production): the per-vreg ``jnp.sum`` lane reduce —
+    measured 8.24 ms on the 10M-nnz bench band.  ``"mxu"``: products
+    accumulate into a per-step VMEM scratch and ONE ``(kstep*R, 128) @
+    (128, 8)`` all-ones matmul (f32 HIGHEST — exact) reduces every tile's
+    lanes in a single MXU issue; measured 11.3 ms at the same size
+    (REJECTED for production, kept for A/B — docs/performance.md)."""
     v = jnp.asarray(v)
     n, m = a.shape
     if v.shape != (m,):
@@ -488,7 +486,9 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
                 t = g * kstep + j
                 o_ref[pl.ds(rb[t], 1)] += accs[i][None]
 
-    rows_step = kstep * R  # product-scratch rows per grid step (= 512)
+    # product-scratch rows per grid step: 4096 at the production kstep=512,
+    # R=8 (a 2 MB f32 VMEM scratch; 512 rows only at the small-plan kstep=64)
+    rows_step = kstep * R
 
     def kernel_mxu(seg_of, rb, vals_ref, q_ref, v_ref, o_ref, scratch):
         g = pl.program_id(0)
@@ -596,6 +596,8 @@ def _smvm_block_bsz(a: CSR) -> int:
     """Detected BELL-route block size for SpMV, or 0 (host-side, eager)."""
     from ..utils.stats import detect_block_size
 
+    if a.shape[0] != a.shape[1]:
+        return 0  # BELL/BSR storage is square-only (bsr_from_coo asserts)
     bsz, _ = detect_block_size(
         a, candidates=(32, 16, 8), min_fill=_BLOCK_SPMV_MIN_FILL
     )

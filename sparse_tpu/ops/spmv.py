@@ -175,6 +175,8 @@ def csr_smvm_fast(a: CSR, v: jax.Array, plan: SpmvPlan | None = None,
     (pass the plan as a static/captured value); without one it is eager."""
     n, m = a.shape
     v = jnp.asarray(v)
+    if v.shape != (m,):
+        raise ValueError(f"csr_smvm_fast: vector shape {v.shape} != ({m},)")
     out_dtype = jnp.result_type(a.dtype, v.dtype)
     if plan is None:
         plan = build_spmv_plan(a)

@@ -404,3 +404,9 @@ def test_smvm_block_route_detection():
              indices=jnp.asarray(x2s.indices.astype(np.int32)),
              indptr=jnp.asarray(x2s.indptr.astype(np.int32)), shape=(n, n))
     assert _smvm_block_bsz(a2) == 0
+    # rectangular CSR with dense square blocks: BELL/BSR storage is
+    # square-only, so the detector must decline (it used to crash in
+    # bsr_from_coo; advisor round-4 medium finding)
+    xr = _block_dense(n, bsz, 0.2, seed=7)[:, : n // 2]
+    ar = st.csr_from_dense(jnp.asarray(np.ascontiguousarray(xr)))
+    assert _smvm_block_bsz(ar) == 0
