@@ -151,6 +151,28 @@ def _schedule(out_pos, s1_pos, s2_pos, pad1, pad2, n_out, indices,
 
     # chunk on slab boundaries so each call owns a contiguous output range;
     # chunk length is SMEM-budgeted: the prefetch tables cost (3g+2)*4 B/step
+    chunks, slab_rel = _chunk_slabs(sstarts, slab_of_step, S, step_cap)
+
+    return BsrPallasPlan(
+        a_idx=jnp.asarray(a_idx),
+        b_idx=jnp.asarray(b_idx),
+        oloc=jnp.asarray(oloc),
+        slab=jnp.asarray(slab_rel),
+        first=jnp.asarray(first),
+        indices=indices,
+        chunks=tuple(chunks),
+        n=n,
+        bsz=bsz,
+        g=g,
+        p=p,
+        nbz_out=n_out,
+    )
+
+
+def _chunk_slabs(sstarts, slab_of_step, S, step_cap):
+    """Chunk the step range on slab boundaries (each pallas_call owns a
+    contiguous output range) under the SMEM-budgeted per-call step cap.
+    Returns (chunks, slab_rel) as in :class:`BsrPallasPlan`."""
     chunks = []
     s0 = 0
     while s0 < S:
@@ -168,21 +190,69 @@ def _schedule(out_pos, s1_pos, s2_pos, pad1, pad2, n_out, indices,
         np.asarray([c[2] for c in chunks], np.int64),
         np.asarray([c[1] - c[0] for c in chunks], np.int64),
     )).astype(np.int32) if S else np.zeros(0, np.int32)
+    return tuple(chunks), slab_rel
 
-    return BsrPallasPlan(
-        a_idx=jnp.asarray(a_idx),
-        b_idx=jnp.asarray(b_idx),
-        oloc=jnp.asarray(oloc),
-        slab=jnp.asarray(slab_rel),
-        first=jnp.asarray(first),
-        indices=indices,
-        chunks=tuple(chunks),
-        n=n,
-        bsz=bsz,
-        g=g,
-        p=p,
-        nbz_out=n_out,
-    )
+
+def schedule_stacked(out_pos_list, s1_list, s2_list, pad1, pad2,
+                     n_out: int, g: int | None, p: int | None, bsz: int):
+    """Multi-shard slab schedule with a SHARED step/slab layout.
+
+    For ``shard_map``: every shard must trace the same kernel, so the
+    per-slab step count is equalized across shards (max over shards) and
+    ``slab``/``first``/``chunks`` are shared; only the per-shard
+    ``a_idx``/``b_idx``/``oloc`` tables differ.  Returns
+    ``(a_idx, b_idx, oloc, first, slab, chunks, g, p)`` with the first
+    three stacked ``(D, S*g)`` and ``first``/``slab`` shared ``(S,)``.
+    Empty shards still zero their slabs (one inert step per slab)."""
+    g, p = _default_gp(bsz, g, p)
+    D = len(out_pos_list)
+    step_cap = max(_SMEM_BUDGET // ((3 * g + 2) * 4), 256)
+    srt = []
+    for t in range(D):
+        op = np.asarray(out_pos_list[t], np.int64)
+        order = np.argsort(op, kind="stable")
+        srt.append((op[order], np.asarray(s1_list[t], np.int64)[order],
+                    np.asarray(s2_list[t], np.int64)[order]))
+    while True:
+        nslabs = max(-(-n_out // p), 1)
+        counts = np.zeros((D, nslabs), np.int64)
+        for t in range(D):
+            if srt[t][0].size:
+                counts[t] = np.bincount(srt[t][0] // p, minlength=nslabs)
+        steps_per = -(-np.maximum(counts.max(axis=0), 1) // g)
+        if int(steps_per.max(initial=1)) <= step_cap:
+            break
+        if p == 1:
+            raise ValueError(
+                "schedule_stacked: one output block exceeds a single "
+                "pallas_call's scalar-prefetch SMEM budget even at p=1; "
+                "use the XLA apply for this pattern"
+            )
+        p = max(p // 2, 1)
+    sstarts = np.zeros(nslabs + 1, np.int64)
+    np.cumsum(steps_per, out=sstarts[1:])
+    S = int(sstarts[-1])
+    a_idx = np.full((D, S * g), pad1, np.int32)
+    b_idx = np.full((D, S * g), pad2, np.int32)
+    oloc = np.zeros((D, S * g), np.int32)
+    for t in range(D):
+        out_s, s1_s, s2_s = srt[t]
+        F = out_s.size
+        if not F:
+            continue
+        slab_of_prod = out_s // p
+        pstart = np.zeros(nslabs + 1, np.int64)
+        np.cumsum(counts[t], out=pstart[1:])
+        rank = np.arange(F) - pstart[slab_of_prod]
+        pos = sstarts[slab_of_prod] * g + rank
+        a_idx[t, pos] = s1_s
+        b_idx[t, pos] = s2_s
+        oloc[t, pos] = (out_s - slab_of_prod * p).astype(np.int32)
+    slab_of_step = np.repeat(np.arange(nslabs, dtype=np.int64), steps_per)
+    first = np.zeros(S, np.int32)
+    first[sstarts[:-1]] = 1
+    chunks, slab_rel = _chunk_slabs(sstarts, slab_of_step, S, step_cap)
+    return a_idx, b_idx, oloc, first, slab_rel, chunks, g, p
 
 
 def bsr_smsmm_pallas_prepare(plan: BsrSmsmmPlan, nbz_a: int, nbz_b: int,
@@ -252,10 +322,23 @@ def _run_slabs(pplan: BsrPallasPlan, z1: jax.Array, z2: jax.Array,
     """Run the slab kernel over the plan's chunks.  ``z1``/``z2`` carry
     the appended zero block at the plan's pad slots.  Returns the
     (nbz_out, bsz, bsz) accumulated blocks."""
-    bsz, g, p = pplan.bsz, pplan.g, pplan.p
-    nbz_out = pplan.nbz_out
-    if nbz_out == 0:
-        return jnp.zeros((0, bsz, bsz), out_dtype)
+    return run_slabs_arrays(
+        pplan.a_idx, pplan.b_idx, pplan.oloc, pplan.first, pplan.slab,
+        z1, z2, chunks=pplan.chunks, bsz=pplan.bsz, g=pplan.g, p=pplan.p,
+        nbz_out=pplan.nbz_out, out_dtype=out_dtype, precision=precision,
+        interpret=interpret,
+    )
+
+
+def run_slabs_arrays(p_a_idx, p_b_idx, p_oloc, p_first, p_slab,
+                     z1: jax.Array, z2: jax.Array, *, chunks, bsz: int,
+                     g: int, p: int, nbz_out: int, out_dtype, precision,
+                     interpret: bool) -> jax.Array:
+    """Raw-array slab-kernel core: :func:`_run_slabs` operating directly on
+    the schedule arrays.  Split out so the SAME DMA-gathered kernel runs
+    inside ``shard_map`` bodies — parallel/pbsr.py stacks per-shard
+    schedules (slab/step layout equalized across shards) and calls this per
+    shard after the block exchange."""
 
     def kernel(a_idx, b_idx, oloc, first, slab, *refs):
         arefs = refs[:g]
@@ -281,8 +364,11 @@ def _run_slabs(pplan: BsrPallasPlan, z1: jax.Array, z2: jax.Array,
         for i in range(g):
             o_ref[pl.ds(oloc[t * g + i], 1)] += prods[i][None]
 
+    if nbz_out == 0:
+        return jnp.zeros((0, bsz, bsz), out_dtype)
+
     pieces = []
-    for (s0, s1, sl0, sl1) in pplan.chunks:
+    for (s0, s1, sl0, sl1) in chunks:
         ns = s1 - s0
         nsl = sl1 - sl0
 
@@ -320,11 +406,11 @@ def _run_slabs(pplan: BsrPallasPlan, z1: jax.Array, z2: jax.Array,
             ),
             interpret=interpret,
         )(
-            jax.lax.dynamic_slice(pplan.a_idx, (s0 * g,), (ns * g,)),
-            jax.lax.dynamic_slice(pplan.b_idx, (s0 * g,), (ns * g,)),
-            jax.lax.dynamic_slice(pplan.oloc, (s0 * g,), (ns * g,)),
-            jax.lax.dynamic_slice(pplan.first, (s0,), (ns,)),
-            jax.lax.dynamic_slice(pplan.slab, (s0,), (ns,)),
+            jax.lax.dynamic_slice(p_a_idx, (s0 * g,), (ns * g,)),
+            jax.lax.dynamic_slice(p_b_idx, (s0 * g,), (ns * g,)),
+            jax.lax.dynamic_slice(p_oloc, (s0 * g,), (ns * g,)),
+            jax.lax.dynamic_slice(p_first, (s0,), (ns,)),
+            jax.lax.dynamic_slice(p_slab, (s0,), (ns,)),
             *([z1] * g),
             *([z2] * g),
         )

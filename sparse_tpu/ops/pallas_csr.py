@@ -52,6 +52,7 @@ __all__ = [
     "SegTilePlan",
     "build_seg_tiles",
     "csr_smvm_segtile",
+    "segtile_apply",
     "csr_smvm_auto",
 ]
 
@@ -403,9 +404,34 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
     out_dtype = jnp.result_type(a.dtype, v.dtype)
     if n == 0:
         return jnp.zeros((0,), out_dtype)
-    wsub = plan.wsub
-    R = plan.rows
-    kstep = plan.kstep
+    y = segtile_apply(
+        plan.vals, plan.q, plan.seg_of, plan.rb, v,
+        n=n, wsub=plan.wsub, rows=plan.rows, kstep=plan.kstep,
+        chunks=plan.chunks, reduce=reduce, batch=batch,
+        interpret=interpret, out_dtype=out_dtype,
+    )
+    return y[:n]
+
+
+def segtile_apply(vals, q, seg_of, rb, v, *, n: int, wsub: int, rows: int,
+                  kstep: int, chunks: tuple, reduce: str = "vpu",
+                  batch: int | None = None, interpret: bool = False,
+                  out_dtype=None) -> jax.Array:
+    """Raw-array segment-tile SpMV core: the pallas_call pipeline of
+    :func:`csr_smvm_segtile` operating directly on the plan's slot arrays.
+
+    This split exists so the SAME kernel runs inside ``shard_map`` bodies —
+    the distributed layer (parallel/halo.py, parallel/pcsr.py) stacks
+    per-shard plan arrays on a leading device axis and calls this per shard
+    after the operand collective, inheriting the measured single-chip rate.
+    ``v`` is the operand *in the plan's column space* (the halo buffer for
+    halo plans); returns the padded ``(ceil(n/rows)*rows,)`` output — the
+    caller slices to its logical row count."""
+    v = jnp.asarray(v)
+    m = v.shape[0]
+    if out_dtype is None:
+        out_dtype = jnp.result_type(vals.dtype, v.dtype)
+    R = rows
     if batch is None:
         batch = kstep  # full two-phase split (measured best)
     # resident operand: whole vector as sublane rows, +wsub zero rows so any
@@ -529,8 +555,8 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
     )
 
     pieces = []
-    vals_all = plan.vals.astype(out_dtype)
-    for (g0, g1) in plan.chunks:
+    vals_all = vals.astype(out_dtype)
+    for (g0, g1) in chunks:
         ng = g1 - g0
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -560,13 +586,13 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
             ),
             interpret=interpret,
         )(
-            jax.lax.dynamic_slice(plan.seg_of, (g0 * kstep,), (ng * kstep,)),
-            jax.lax.dynamic_slice(plan.rb, (g0 * kstep,), (ng * kstep,)),
+            jax.lax.dynamic_slice(seg_of, (g0 * kstep,), (ng * kstep,)),
+            jax.lax.dynamic_slice(rb, (g0 * kstep,), (ng * kstep,)),
             jax.lax.dynamic_slice(
                 vals_all, (g0 * kstep, 0, 0), (ng * kstep, R, _LANES)
             ),
             jax.lax.dynamic_slice(
-                plan.q, (g0 * kstep, 0, 0), (ng * kstep, R, _LANES)
+                q, (g0 * kstep, 0, 0), (ng * kstep, R, _LANES)
             ),
             v2,
         )
@@ -574,7 +600,7 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
     y = pieces[0]
     for p in pieces[1:]:
         y = y + p
-    return y.reshape(nbR * R)[:n]
+    return y.reshape(nbR * R)
 
 
 # resident budget: operand (m) + output (n) f32 rows in VMEM; keep the two

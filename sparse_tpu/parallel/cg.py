@@ -6,6 +6,13 @@ sharded over the mesh and every reduction a compiled XLA collective.  This is
 the end-to-end multi-chip pipeline the driver dry-runs (``__graft_entry__``)
 and the weak-scaling benchmark exercises.
 
+Every solver's matvec goes through :func:`~sparse_tpu.parallel.halo.dist_spmv`,
+so ``a`` may be ANY partitioned type — ``PCSR`` (all-gather baseline),
+``HaloPCSR``/``HaloPCSROverlap`` (halo exchange), or ``HaloSegtile`` (halo +
+the segment-tile Pallas kernel per shard).  Partition once with the richest
+structure the pattern supports and the whole Krylov iteration inherits that
+matvec rate.
+
 No reference counterpart (the reference is single-device, SURVEY.md §2.3);
 semantics are standard CG on SPD systems, validated against dense NumPy
 solves in tests.
@@ -20,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from .pcsr import PCSR, pcsr_spmv
+from .halo import dist_spmv
+from .pcsr import PCSR
 
 __all__ = ["cg_solve", "pcg_solve", "bicgstab_solve", "gmres_solve",
            "power_iteration_step", "estimate_lmax",
@@ -35,7 +43,7 @@ def cg_step(a: PCSR, mesh: Mesh, state):
     """One CG iteration; all vectors padded row-sharded, dots are global
     psums compiled by XLA from the sharded reductions."""
     x, r, p, rs = state
-    ap = pcsr_spmv(a, p, mesh)
+    ap = dist_spmv(a, p, mesh)
     denom = jnp.vdot(p, ap)
     alpha = rs / jnp.where(denom == 0, 1, denom)
     x = x + alpha * p
@@ -86,7 +94,7 @@ def pcg_solve(a: PCSR, b: jax.Array, inv_diag: jax.Array, mesh: Mesh,
 
     def step(state):
         x, r, p, rz = state
-        ap = pcsr_spmv(a, p, mesh)
+        ap = dist_spmv(a, p, mesh)
         denom = jnp.vdot(p, ap)
         alpha = rz / jnp.where(denom == 0, 1, denom)
         x = x + alpha * p
@@ -122,10 +130,10 @@ def bicgstab_solve(a: PCSR, b: jax.Array, mesh: Mesh, *, iters: int = 50):
 
     def step(state):
         x, r, p, r_hat, rho = state
-        v = pcsr_spmv(a, p, mesh)
+        v = dist_spmv(a, p, mesh)
         alpha = safe_div(rho, jnp.vdot(r_hat, v))
         s = r - alpha * v
-        t = pcsr_spmv(a, s, mesh)
+        t = dist_spmv(a, s, mesh)
         omega = safe_div(jnp.vdot(t, s), jnp.vdot(t, t))
         x = x + alpha * p + omega * s
         r = s - omega * t
@@ -155,7 +163,7 @@ def gmres_solve(a: PCSR, b: jax.Array, mesh: Mesh, *, inv_diag=None,
     row-sharded solution."""
     from jax.scipy.sparse.linalg import gmres as _gmres
 
-    mv = lambda v: pcsr_spmv(a, v, mesh)
+    mv = lambda v: dist_spmv(a, v, mesh)
     precond = (
         (lambda v: _precond_apply(inv_diag, v)) if inv_diag is not None else None
     )
@@ -167,7 +175,7 @@ def gmres_solve(a: PCSR, b: jax.Array, mesh: Mesh, *, inv_diag=None,
 def power_iteration_step(a: PCSR, v: jax.Array, mesh: Mesh):
     """One normalized power-iteration step: ``v <- A v / ||A v||``; returns
     (v_next, rayleigh_quotient_estimate)."""
-    av = pcsr_spmv(a, v, mesh)
+    av = dist_spmv(a, v, mesh)
     norm = jnp.sqrt(jnp.vdot(av, av))
     lam = jnp.vdot(v, av)
     return av / jnp.where(norm == 0, 1, norm), lam
@@ -179,7 +187,9 @@ def estimate_lmax(a: PCSR, mesh: Mesh, *, iters: int = 30,
     :func:`chebyshev_preconditioner` bounds), scaled by ``safety`` so the
     Chebyshev interval covers the true spectrum."""
     L = a.rows_per_shard * a.n_shards
-    v0 = jnp.full((L,), 1.0 / np.sqrt(max(L, 1)), a.data.dtype)
+    dt = (a.data if hasattr(a, "data") else
+          a.vals if hasattr(a, "vals") else a.int_data).dtype
+    v0 = jnp.full((L,), 1.0 / np.sqrt(max(L, 1)), dt)
 
     def body(_, carry):
         v, _ = carry
@@ -215,7 +225,7 @@ def chebyshev_preconditioner(a: PCSR, mesh: Mesh, *, lmax, lmin=None,
                 alpha = 1.0 / (d - beta / alpha)
                 p = r + beta * p
             z = z + alpha * p
-            r = r - alpha * pcsr_spmv(a, p, mesh)
+            r = r - alpha * dist_spmv(a, p, mesh)
         return z
 
     return apply
