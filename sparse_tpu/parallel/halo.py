@@ -21,6 +21,7 @@ import dataclasses
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
@@ -403,10 +404,13 @@ class HaloSegtile:
 
     ``vals``/``q``: (D, T, R, 128) slot values / sublane pointers;
     ``seg_of``/``rb``: (D, T) window bases / output row blocks;
-    ``send_idx``: (D, D, halo) as in :class:`HaloPCSR`.  All segment-tile
-    meta (``kstep``/``chunks``/``n_tiles``) is equalized across shards so
-    the shard_map body is a single trace.  ``fill`` is the worst shard's
-    slot occupancy (diagnostic)."""
+    ``send_idx``: (D, D, halo) strictly-REMOTE entries (a shard's own
+    columns are read directly from its operand slab — the plan's column
+    space is ``[own slab | received halo]``, as in
+    :class:`HaloPCSROverlap`).  All segment-tile meta
+    (``kstep``/``chunks``/``n_tiles``) is equalized across shards so the
+    shard_map body is a single trace.  ``fill`` is the worst shard's slot
+    occupancy (diagnostic)."""
 
     vals: jax.Array
     q: jax.Array
@@ -458,7 +462,12 @@ def halo_partition_segtile(
     indices = np.asarray(a.indices)
     data = np.asarray(a.data)
 
-    # pass 1: per-shard needed columns (grouped by source shard) -> halo
+    # pass 1: per-shard needed REMOTE columns (grouped by source shard).
+    # A shard's own slab columns never enter the exchange: the kernel's
+    # operand is [own slab (direct) | received halo], so the send gather and
+    # the collective carry strictly the remote frontier (same design as
+    # HaloPCSROverlap) — on a 1-device mesh the whole exchange degenerates
+    # to a 1-entry dummy and the kernel runs at the bare single-chip rate.
     needed: list[list[np.ndarray]] = []
     raw: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     halo = 1
@@ -468,7 +477,8 @@ def halo_partition_segtile(
         cols = indices[s:e]
         uniq = np.unique(cols)
         by_src = [
-            uniq[(uniq >= src * cols_p) & (uniq < (src + 1) * cols_p)]
+            np.zeros(0, np.int64) if src == dst
+            else uniq[(uniq >= src * cols_p) & (uniq < (src + 1) * cols_p)]
             - src * cols_p
             for src in range(d)
         ]
@@ -479,22 +489,26 @@ def halo_partition_segtile(
         ptr[hi - lo + 1 :] = ptr[hi - lo]
         raw.append((ptr, cols.copy(), data[s:e]))
 
-    # pass 2: remap to halo space, build per-shard local CSRs
+    # pass 2: remap columns into the [own slab | halo] operand space and
+    # build per-shard local CSRs
     send = np.zeros((d, d, halo), np.int32)
     local_csrs = []
     for dst in range(d):
         remap = np.zeros(m + 1, np.int64)
+        own = np.arange(max(min(cols_p, m - dst * cols_p), 0),
+                        dtype=np.int64)
+        remap[dst * cols_p + own] = own  # direct: no exchange round-trip
         for src in range(d):
             b = needed[dst][src]
             send[src, dst, : b.size] = b
-            remap[src * cols_p + b] = src * halo + np.arange(b.size)
+            remap[src * cols_p + b] = cols_p + src * halo + np.arange(b.size)
         ptr, cols, vals = raw[dst]
         local_csrs.append(
             _CSR(
                 data=jnp.asarray(vals),
                 indices=jnp.asarray(remap[cols].astype(np.int32)),
                 indptr=jnp.asarray(ptr.astype(np.int64)),
-                shape=(rows_p, d * halo),
+                shape=(rows_p, cols_p + d * halo),
             )
         )
 
@@ -555,11 +569,13 @@ def _halo_spmv_segtile_exec(vals, q, seg_of, rb, send_idx, v, *, mesh, ax,
     from ..ops.pallas_csr import segtile_apply
 
     def body(vals, q, seg_of, rb, send_idx, v_local):
-        send_buf = v_local[send_idx[0]]  # (D, H)
+        send_buf = v_local[send_idx[0]]  # (D, H) strictly-remote entries
         recv = jax.lax.all_to_all(send_buf, ax, split_axis=0, concat_axis=0)
-        v_halo = recv.reshape(d * H)
+        # operand space the plan indices were built against: own slab
+        # directly (never round-trips the exchange), halo appended
+        v_op = jnp.concatenate([v_local, recv.reshape(d * H)])
         y = segtile_apply(
-            vals[0], q[0], seg_of[0], rb[0], v_halo,
+            vals[0], q[0], seg_of[0], rb[0], v_op,
             n=rows_p, wsub=wsub, rows=R, kstep=kstep, chunks=chunks,
             interpret=interpret,
         )
