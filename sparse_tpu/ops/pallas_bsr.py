@@ -330,6 +330,8 @@ def _run_slabs(pplan: BsrPallasPlan, z1: jax.Array, z2: jax.Array,
     )
 
 
+@partial(jax.jit, static_argnames=("chunks", "bsz", "g", "p", "nbz_out",
+                                   "out_dtype", "precision", "interpret"))
 def run_slabs_arrays(p_a_idx, p_b_idx, p_oloc, p_first, p_slab,
                      z1: jax.Array, z2: jax.Array, *, chunks, bsz: int,
                      g: int, p: int, nbz_out: int, out_dtype, precision,
@@ -338,7 +340,14 @@ def run_slabs_arrays(p_a_idx, p_b_idx, p_oloc, p_first, p_slab,
     the schedule arrays.  Split out so the SAME DMA-gathered kernel runs
     inside ``shard_map`` bodies — parallel/pbsr.py stacks per-shard
     schedules (slab/step layout equalized across shards) and calls this per
-    shard after the block exchange."""
+    shard after the block exchange.
+
+    Module-level jit: each pallas_call receives ``z1``/``z2`` g times (one
+    BlockSpec per DMA stream); under jit the 2g references CSE into two
+    parameters, while an EAGER dispatch would give the executable 2g
+    distinct parameters and layout assignment would materialize 2g padded
+    copies of the factor storage — measured 18 GB of HBM (4x lane padding
+    at bsz=32, 48 copies) on the 181k-product fixture, an instant OOM."""
 
     def kernel(a_idx, b_idx, oloc, first, slab, *refs):
         arefs = refs[:g]

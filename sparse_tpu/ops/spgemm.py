@@ -234,7 +234,7 @@ def _mxu_eligible(a: CSR, b: CSR, budget: int = _MXU_DENSE_ELEMS) -> bool:
     )
 
 
-_BLOCK_ROUTE_CANDIDATES = (8, 4, 2)
+_BLOCK_ROUTE_CANDIDATES = (32, 16, 8, 4, 2)
 _BLOCK_ROUTE_MIN_NNZ = 4096
 """Below this stored-entry count the ESC core's sort is already sub-ms; the
 two re-blocking sorts + block product would only add latency."""
@@ -284,7 +284,9 @@ def _spgemm_route(a: CSR, b_rows: CSR,
     return "esc", 0
 
 
-def _spgemm_block(a: CSR, b_rows: CSR, bsz: int, compact: bool) -> CSR:
+def _spgemm_block(a: CSR, b_rows: CSR, bsz: int, compact: bool,
+                  use_pallas: bool | None = None,
+                  interpret: bool = False) -> CSR:
     """Block-routed SpGEMM: re-block both operands, multiply on the MXU
     block path, return to scalar CSR keeping every stored block position
     (exact reference structure under the full-fill routing precondition).
@@ -292,9 +294,13 @@ def _spgemm_block(a: CSR, b_rows: CSR, bsz: int, compact: bool) -> CSR:
     Uses the prepare/apply pair rather than the one-shot device core: the
     route is eager anyway (host-sync'd stats), the host symbolic pass is
     cheaper than the device expand-sort at these sizes, and the numeric
-    pass gets the small-block flat layout / Pallas DMA kernel instead of
-    the (F, bsz, bsz) einsum stream whose tile padding OOMs at real sizes
-    (docs/performance.md "Small-block apply")."""
+    pass follows the measured routing rule (docs/performance.md
+    "Small-block apply"): bsz <= 4 -> the flat XLA apply; bsz >= 8 on TPU
+    -> the Pallas DMA-slab apply (4 KB granules at bsz=32: ~350 GFLOP/s,
+    4.7x the XLA einsum apply, and no (F, bsz, bsz) gathered streams whose
+    tile padding OOMs at real sizes)."""
+    import jax as _jax
+
     from ..formats.bsr import (
         bsr_smsmm_apply,
         bsr_smsmm_prepare,
@@ -304,7 +310,25 @@ def _spgemm_block(a: CSR, b_rows: CSR, bsz: int, compact: bool) -> CSR:
 
     ab = csr_to_bsr(a, bsz, compact=True)
     bb = csr_to_bsr(b_rows, bsz, compact=True)
-    out = bsr_to_csr(bsr_smsmm_apply(bsr_smsmm_prepare(ab, bb), ab, bb))
+    plan = bsr_smsmm_prepare(ab, bb)
+    cb = None
+    if use_pallas is None:
+        use_pallas = _jax.default_backend() == "tpu"
+    if bsz >= 8 and use_pallas:
+        from ..ops.pallas_bsr import (
+            bsr_smsmm_apply_pallas,
+            bsr_smsmm_pallas_prepare,
+        )
+
+        try:
+            pp = bsr_smsmm_pallas_prepare(plan, ab.nbz, bb.nbz)
+        except ValueError:
+            pp = None  # one output's products blow the SMEM budget
+        if pp is not None:
+            cb = bsr_smsmm_apply_pallas(pp, ab, bb, interpret=interpret)
+    if cb is None:
+        cb = bsr_smsmm_apply(plan, ab, bb)
+    out = bsr_to_csr(cb)
     if compact:
         from ..formats.csr import csr_compact
 

@@ -351,6 +351,58 @@ def test_spgemm_route_picks_block_for_dense_blocks():
         sg._BLOCK_ROUTE_MIN_NNZ = old
 
 
+def test_spgemm_route_bsz32_and_partial_fill_boundary():
+    """Largest block size wins (candidates now reach 32), and partial block
+    fill — dense structure that ISN'T fully dense — correctly declines the
+    block route (the scalar cores keep exact stored-structure semantics)."""
+    import sparse_tpu.ops.spgemm as sg
+    from sparse_tpu.ops.spgemm import _spgemm_route
+    from sparse_tpu.utils.stats import csr_block_fill
+
+    n, bsz = 256, 32
+    x = _block_dense(n, bsz, 0.3, seed=2)
+    a = st.csr_from_dense(jnp.asarray(x))
+    assert csr_block_fill(a, 32) == 1.0
+    old = sg._BLOCK_ROUTE_MIN_NNZ
+    sg._BLOCK_ROUTE_MIN_NNZ = 1
+    try:
+        route, got = _spgemm_route(a, a, mxu_budget=10)
+        assert (route, got) == ("block", 32)
+        # knock out ~40% of stored entries inside the blocks: the blocks
+        # are still *detectable* clusters but no longer fully dense, so the
+        # dispatcher must decline (the boundary case)
+        rng = np.random.default_rng(7)
+        xp = x * (rng.random((n, n)) < 0.6)
+        ap = st.csr_from_dense(jnp.asarray(xp))
+        fill = csr_block_fill(ap, 32)
+        assert 0.4 < fill < 0.8
+        assert _spgemm_route(ap, ap, mxu_budget=10)[0] == "esc"
+    finally:
+        sg._BLOCK_ROUTE_MIN_NNZ = old
+
+
+def test_spgemm_block_pallas_apply_matches_esc():
+    """The Pallas DMA-slab apply inside the block route (bsz >= 8 on TPU;
+    forced + interpret here) produces the ESC core's stored structure and
+    values (reference semantics: compressed.fut:268-331)."""
+    from sparse_tpu.ops.spgemm import _spgemm_block, spgemm
+
+    n, bsz = 128, 8
+    x = _block_dense(n, bsz, 0.2, seed=11)
+    y = _block_dense(n, bsz, 0.2, seed=12)
+    a = st.csr_from_dense(jnp.asarray(x))
+    b = st.csr_from_dense(jnp.asarray(y))
+    c_esc = spgemm(a, b, method="esc")
+    c_blk = _spgemm_block(a, b, bsz, compact=True, use_pallas=True,
+                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(c_blk.indptr),
+                                  np.asarray(c_esc.indptr))
+    np.testing.assert_array_equal(np.asarray(c_blk.indices),
+                                  np.asarray(c_esc.indices))
+    np.testing.assert_allclose(np.asarray(c_blk.data),
+                               np.asarray(c_esc.data), rtol=1e-9, atol=1e-9)
+
+
 def test_spgemm_block_method_matches_esc():
     """The block route produces the ESC core's exact stored structure and
     values (up to float summation order) under its full-fill precondition
