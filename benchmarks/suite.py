@@ -152,6 +152,24 @@ def bench_csr_segtile(quick):
     eff = (slots * 5 + m * 4 + n * 4) / t / 1e9
     emit("csr_spmv_segtile_banded_eff_bw", eff, "GB/s",
          eff / MEASURED_CEILING_GBPS)
+    # the nnz/s roofline model (utils/stats.nnz_roofline): intrinsic
+    # pattern ceiling from min bytes; plan ceiling = max(traffic floor,
+    # measured per-vreg issue floor); structural_frac is the checkable
+    # "how much of the pattern roofline THIS plan can reach"
+    from sparse_tpu.ops.pallas_csr import (
+        segtile_hbm_bytes,
+        segtile_issue_seconds,
+    )
+    from sparse_tpu.utils.stats import csr_min_bytes, nnz_roofline
+
+    rl = nnz_roofline(
+        nnz, min_bytes=csr_min_bytes(a), plan_bytes=segtile_hbm_bytes(plan),
+        issue_s=segtile_issue_seconds(plan), seconds=t,
+    )
+    emit("csr_spmv_segtile_frac_of_nnz_roofline",
+         rl["frac_of_nnz_roofline"], "frac", rl["structural_frac"])
+    emit("csr_spmv_segtile_frac_of_plan_ceiling",
+         rl["frac_of_plan_ceiling"], "frac")
 
 
 def bench_reorder(quick):
@@ -288,6 +306,19 @@ def bench_real_matrices(quick):
         emit(f"{tag}_segtile_kernel_nnzps", nnz / tk / 1e9, "Gnnz/s")
         emit(f"{tag}_segtile_traffic_frac",
              traffic / tk / 1e9 / MEASURED_CEILING_GBPS, "frac")
+        from sparse_tpu.ops.pallas_csr import (
+            segtile_hbm_bytes,
+            segtile_issue_seconds,
+        )
+        from sparse_tpu.utils.stats import csr_min_bytes, nnz_roofline
+
+        rl = nnz_roofline(
+            nnz, min_bytes=csr_min_bytes(ap),
+            plan_bytes=segtile_hbm_bytes(plan),
+            issue_s=segtile_issue_seconds(plan), seconds=tk,
+        )
+        emit(f"{tag}_segtile_frac_of_nnz_roofline",
+             rl["frac_of_nnz_roofline"], "frac", rl["structural_frac"])
 
     def run_block_spgemm(tag, a):
         """Block-routed SpGEMM on a natural-block matrix vs the scalar
@@ -445,6 +476,24 @@ def bench_bell(quick):
     # policy; ~30% of ceiling is the documented structural bound at bsz=32)
     emit("bell_spmv_roofline_frac", spmv_bytes / t / 1e9 /
          MEASURED_CEILING_GBPS, "frac")
+    # nnz/s roofline model: the bound is the fitted ~67 ns/block contraction
+    # issue wall (BELL_SPMV_NS_PER_BLOCK), not traffic — structural_frac is
+    # the derived, checkable version of the "structural bound" claim
+    from sparse_tpu.formats.bell import (
+        BELL_SPMV_NS_PER_BLOCK,
+        bell_smvm_hbm_bytes,
+    )
+    from sparse_tpu.utils.stats import blocked_min_bytes, nnz_roofline
+
+    rl = nnz_roofline(
+        nnz, min_bytes=blocked_min_bytes(rows.size, bsz, n),
+        plan_bytes=bell_smvm_hbm_bytes(a),
+        issue_s=rows.size * BELL_SPMV_NS_PER_BLOCK * 1e-9, seconds=t,
+    )
+    emit("bell_spmv_frac_of_nnz_roofline", rl["frac_of_nnz_roofline"],
+         "frac", rl["structural_frac"])
+    emit("bell_spmv_frac_of_plan_ceiling", rl["frac_of_plan_ceiling"],
+         "frac")
 
     # k-sweep (BASELINE config 3: SpMM k=32..256), production dispatch:
     # banded-plan kernel on TPU (same path as the headline bench)
@@ -469,9 +518,18 @@ def bench_bell(quick):
         if plan is not None:
             # measured-traffic roofline: actual plan-derived HBM bytes —
             # this is the number held against the 207 GB/s ceiling
-            hbm = banded_spmm_hbm_bytes(plan, bsz, n, k) / t / 1e9
+            pbytes = banded_spmm_hbm_bytes(plan, bsz, n, k)
+            hbm = pbytes / t / 1e9
             emit(f"bell_spmm_k{k}_hbm_bw", hbm, "GB/s",
                  hbm / MEASURED_CEILING_GBPS)
+            # nnz/s roofline: structural_frac = intrinsic/plan traffic is
+            # the COMPUTED version of the "~74-77% densified-tile bound"
+            rl = nnz_roofline(
+                nnz, k=k, min_bytes=blocked_min_bytes(rows.size, bsz, n, k),
+                plan_bytes=pbytes, seconds=t,
+            )
+            emit(f"bell_spmm_k{k}_frac_of_nnz_roofline",
+                 rl["frac_of_nnz_roofline"], "frac", rl["structural_frac"])
 
     # small-k production path (round 4): the transposed super-tiled kernel —
     # at k < 128 the standard kernel's sub-128 minor dims get lane-padded

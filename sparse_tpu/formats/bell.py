@@ -111,16 +111,37 @@ def bell_from_csr(a, bsz: int, Lb: int | None = None) -> BELL:
     return bell_from_bsr(bsr_compact(bsr_from_coo(csr_to_coo(a), bsz)), Lb=Lb)
 
 
+#: Fitted per-stored-block wall of :func:`bell_smvm` at bsz=32, k=1 on the
+#: v5e: measured 5.2 ms / 78.1k blocks at the bench size = ~67 ns per block
+#: of gather-index + (32, 32) x (32,) contraction issue, pipelined with the
+#: block stream.  Feeds utils.stats.nnz_roofline's issue_s floor (the
+#: kernel's 332 MB of traffic alone would take 1.6 ms at the 207 GB/s
+#: ceiling — the contraction issue rate, not traffic, is binding).  Fitted,
+#: not first-principles: falsifiable at other block counts via the suite's
+#: frac_of_plan_ceiling row.
+BELL_SPMV_NS_PER_BLOCK = 67.0
+
+
+def bell_smvm_hbm_bytes(a: BELL) -> int:
+    """HBM bytes one :func:`bell_smvm` moves: the block stream + block col
+    ids + one gathered bsz-chunk per slot + the output (the plan_bytes term
+    of utils.stats.nnz_roofline)."""
+    slots = a.nb * a.Lb
+    return slots * (a.bsz * a.bsz * 4 + 4 + a.bsz * 4) + a.n * 4
+
+
 def bell_smvm(a: BELL, v: jax.Array) -> jax.Array:
     """Scatter-free, matrix-gather-free SpMV: stream blocks, gather operand
     chunks, contract on the VPU.
 
     This is the single production BELL SpMV path.  Measured bound on v5e at
     bsz=32 (honest jit-argument protocol, bench size): ~64 GB/s min-traffic
-    effective — ~30% of the streaming ceiling, structural for this shape:
-    the contraction is block-batched (bsz-wide MXU/VPU issues with k=1) and
-    XLA's layout assignment already overlaps the (l, i) block transpose at
-    this size.  Two alternatives were built, measured, and deleted per the
+    effective — ~30% of the streaming ceiling.  The bound is the fitted
+    per-block contraction-issue wall (``BELL_SPMV_NS_PER_BLOCK``, ~67 ns
+    per stored block: bsz-wide VPU issues with k=1 amortize nothing), not
+    traffic — the nnz/s roofline model reports the resulting structural
+    fraction machine-checkably (suite ``bell_spmv_frac_of_nnz_roofline``).
+    Two alternatives were built, measured, and deleted per the
     losing-kernel policy (docs/performance.md): a Pallas SpMV kernel
     (DMA-latency-bound at 37 GB/s — rt*Lb tiny 128 B chunk DMAs/step) and a
     pre-transposed prepare split (61.4 GB/s — no better than this path).

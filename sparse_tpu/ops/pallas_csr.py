@@ -54,7 +54,17 @@ __all__ = [
     "csr_smvm_segtile",
     "segtile_apply",
     "csr_smvm_auto",
+    "segtile_hbm_bytes",
+    "segtile_issue_seconds",
 ]
+
+# Measured per-vreg issue cost of the segment-tile kernel on the v5e
+# (docs/performance.md, rounds 2-4): ~46 ns per (8, 128) slot vreg at
+# wsub=8, +~8.7 ns per extra 8-sublane gather chunk of wider windows.
+# These feed utils.stats.nnz_roofline's issue_s floor — the kernel is
+# ISSUE-bound, not bandwidth-bound, so its plan ceiling is vregs * cost.
+SEGTILE_NS_PER_VREG = 46.0
+SEGTILE_NS_PER_EXTRA_CHUNK = 8.7
 
 _LANES = 128
 _TILE_CAP = 102_400  # tiles per pallas_call (SMEM prefetch budget: 2 tables)
@@ -601,6 +611,28 @@ def segtile_apply(vals, q, seg_of, rb, v, *, n: int, wsub: int, rows: int,
     for p in pieces[1:]:
         y = y + p
     return y.reshape(nbR * R)
+
+
+def segtile_hbm_bytes(plan: SegTilePlan) -> int:
+    """HBM bytes one segment-tile SpMV actually moves (the kernel's
+    CostEstimate): 5 B per slot (f32 value + int8 pointer) + the resident
+    operand + the output.  The ``plan_bytes`` term of
+    :func:`~sparse_tpu.utils.stats.nnz_roofline`."""
+    slots = plan.n_tiles * plan.rows * _LANES
+    nbR = -(-plan.n // plan.rows)
+    return slots * 5 + plan.m * 4 + nbR * plan.rows * 4
+
+
+def segtile_issue_seconds(plan: SegTilePlan) -> float:
+    """Modeled issue-bound floor of one segment-tile SpMV: vreg count x the
+    measured per-vreg cost (``SEGTILE_NS_PER_VREG`` + the wider-window
+    chunk surcharge).  The ``issue_s`` term of
+    :func:`~sparse_tpu.utils.stats.nnz_roofline` — for this kernel the
+    issue floor, not traffic, is binding (measured, docs/performance.md)."""
+    vregs = plan.n_tiles * (plan.rows // 8)
+    per = (SEGTILE_NS_PER_VREG
+           + SEGTILE_NS_PER_EXTRA_CHUNK * (plan.wsub // 8 - 1))
+    return vregs * per * 1e-9
 
 
 # resident budget: operand (m) + output (n) f32 rows in VMEM; keep the two

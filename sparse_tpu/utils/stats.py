@@ -14,7 +14,13 @@ import numpy as np
 from ..formats.csr import CSR
 
 __all__ = ["matrix_stats", "spmv_bytes", "roofline_report",
-           "bell_stats", "BellStats", "csr_block_fill", "detect_block_size"]
+           "bell_stats", "BellStats", "csr_block_fill", "detect_block_size",
+           "HBM_CEILING_GBPS", "csr_min_bytes", "blocked_min_bytes",
+           "nnz_roofline"]
+
+#: Streaming HBM ceiling measured on the target v5e (chained axpy,
+#: docs/performance.md) — the denominator of every roofline fraction.
+HBM_CEILING_GBPS = 207.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,6 +82,82 @@ def roofline_report(a: CSR, seconds: float, k: int = 1,
     }
     if hbm_gbps:
         out["roofline_fraction"] = gbps / hbm_gbps
+    return out
+
+
+def csr_min_bytes(a: CSR, k: int = 1) -> int:
+    """Pattern-INTRINSIC minimum HBM bytes of one SpMV/SpMM: every stored
+    value read once, every DISTINCT operand entry read once (column reuse
+    is creditable — a perfect kernel caches it in VMEM), every output entry
+    written once.  Index/metadata traffic is EXCLUDED: it is plan-dependent
+    (banded/BELL plans encode structure implicitly at 0 B/nnz, the
+    segment-tile plan pays 5 B/slot, CSR gathers pay 4 B/nnz) and belongs
+    to the *plan* term of :func:`nnz_roofline`.  This is the denominator of
+    the BASELINE "%% of memory-roofline nnz/s" target: no kernel for this
+    pattern can move fewer bytes."""
+    vb = np.dtype(np.asarray(a.data).dtype).itemsize
+    indptr = np.asarray(a.indptr)
+    nse = int(indptr[-1]) if indptr.size else 0
+    uniq = int(np.unique(np.asarray(a.indices)[:nse]).size)
+    n, _ = a.shape
+    return nse * vb + uniq * k * vb + n * k * vb
+
+
+def blocked_min_bytes(stored_blocks: int, bsz: int, n: int, k: int = 1,
+                      value_bytes: int = 4,
+                      operand_entries: int | None = None) -> int:
+    """Pattern-intrinsic minimum bytes for a blocked (BSR/BELL) SpMV/SpMM:
+    stored block values once, each distinct operand entry once
+    (``operand_entries`` defaults to ``n * k`` — every column touched, true
+    for bands), output once.  Same exclusions as :func:`csr_min_bytes`."""
+    if operand_entries is None:
+        operand_entries = n * k
+    return (stored_blocks * bsz * bsz * value_bytes
+            + operand_entries * value_bytes + n * k * value_bytes)
+
+
+def nnz_roofline(nnz: int, k: int = 1, *, min_bytes: int,
+                 hbm_gbps: float = HBM_CEILING_GBPS,
+                 plan_bytes: int | None = None,
+                 issue_s: float | None = None,
+                 seconds: float | None = None) -> dict:
+    """The nnz/s roofline model (BASELINE config 2/3's target metric).
+
+    ``min_bytes`` (:func:`csr_min_bytes` / :func:`blocked_min_bytes`) sets
+    the pattern-intrinsic ceiling: ``ceiling_gnnzps = hbm_gbps * nnz * k /
+    min_bytes``.  A specific plan adds two optional floors on its
+    achievable time — ``plan_bytes`` (the traffic it actually moves,
+    e.g. 5 B/slot segment tiles or densified banded tiles) and ``issue_s``
+    (a measured issue-rate wall, e.g. the segment-tile ~46 ns/vreg cost,
+    docs/performance.md) — giving ``plan_ceiling_gnnzps`` and the
+    machine-checkable ``structural_frac = plan_ceiling / ceiling``: the
+    fraction of the pattern roofline THIS plan can reach even at perfect
+    execution.  With ``seconds``: ``achieved_gnnzps``,
+    ``frac_of_nnz_roofline`` (vs the intrinsic ceiling — the BASELINE
+    number) and ``frac_of_plan_ceiling`` (vs the plan's own bound —
+    execution quality)."""
+    eff = nnz * k
+    t_intr = min_bytes / (hbm_gbps * 1e9)
+    out = {
+        "min_bytes": int(min_bytes),
+        "min_bytes_per_nnz": min_bytes / max(eff, 1),
+        "ceiling_gnnzps": eff / t_intr / 1e9 if t_intr else float("inf"),
+    }
+    t_plan = None
+    if plan_bytes is not None or issue_s is not None:
+        t_plan = max(
+            (plan_bytes / (hbm_gbps * 1e9)) if plan_bytes is not None else 0.0,
+            issue_s or 0.0,
+        )
+        out["plan_ceiling_gnnzps"] = eff / t_plan / 1e9 if t_plan else float("inf")
+        out["structural_frac"] = (
+            t_intr / t_plan if t_plan else 1.0
+        )
+    if seconds:
+        out["achieved_gnnzps"] = eff / seconds / 1e9
+        out["frac_of_nnz_roofline"] = t_intr / seconds
+        if t_plan:
+            out["frac_of_plan_ceiling"] = t_plan / seconds
     return out
 
 
