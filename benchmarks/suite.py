@@ -935,6 +935,170 @@ def bench_weak_scaling(quick):
         d *= 2
 
 
+def bench_solvers(quick):
+    """Solver-stack on-chip rates (the C8 critical path,
+    blocked_square_regular.fut:414-464 lup_nofill, :556-599 for/backsolve,
+    :601-603 ols): factorization and triangular-sweep cost vs block-column
+    count (the sequential fori_loop critical path), and preconditioned CG
+    end-to-end — ILU(0) (sequential sweeps) vs block-Jacobi (batched) vs
+    plain.  TPU only."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return
+    from sparse_tpu.formats.bsr import BSR, bsr_to_csr
+    from sparse_tpu.ops.segmented import INDEX_DTYPE
+    from sparse_tpu.solve.bsr_lu import (
+        bsr_forsolve,
+        bsr_lu_numeric_apply,
+        bsr_lu_numeric_prepare,
+        bsr_tri_plan,
+    )
+
+    bsz, half = 32, 2
+    rng = np.random.default_rng(21)
+
+    def block_band(nb, spd=False):
+        rows, cols = [], []
+        for off in range(-half, half + 1):
+            r = np.arange(max(0, -off), min(nb, nb - off), dtype=np.int64)
+            rows.append(r)
+            cols.append(r + off)
+        rows = np.concatenate(rows)
+        cols = np.concatenate(cols)
+        order = np.lexsort((cols, rows))
+        rows, cols = rows[order], cols[order]
+        pool = (rng.standard_normal(521 * bsz * bsz).astype(np.float32) * 0.05)
+        blocks = pool.reshape(521, bsz, bsz)[np.arange(rows.size) % 521].copy()
+        if spd:
+            # symmetric values + strong block-diagonal dominance
+            mirror = {(int(r), int(c)): i for i, (r, c) in
+                      enumerate(zip(rows, cols))}
+            for i, (r, c) in enumerate(zip(rows, cols)):
+                if r < c:
+                    blocks[mirror[(int(c), int(r))]] = blocks[i].T
+                elif r == c:
+                    blocks[i] = (blocks[i] + blocks[i].T) / 2 \
+                        + np.eye(bsz, dtype=np.float32) * 4.0
+        else:
+            diag = rows == cols
+            blocks[diag] += np.eye(bsz, dtype=np.float32) * 4.0
+        return BSR(
+            indices=jnp.asarray(rows * nb + cols, INDEX_DTYPE),
+            blocks=jnp.asarray(blocks),
+            n=nb * bsz,
+            bsz=bsz,
+        )
+
+    # -- factorization + triangular sweeps vs block-column count -----------
+    for nb in ((256, 1024) if quick else (256, 1024, 4096)):
+        a = block_band(nb)
+        plan = bsr_lu_numeric_prepare(a)  # full band: no fill
+        nnz = a.nbz * bsz * bsz
+
+        def fact_step(blocks, idxs, plan):
+            m = BSR(indices=idxs, blocks=blocks, n=nb * bsz, bsz=bsz)
+            lu = bsr_lu_numeric_apply(plan, m, pivot=True)[0].blocks
+            return lu / (jnp.max(jnp.abs(lu)) + 1.0)
+
+        t = timed_chain(fact_step, a.blocks, a.indices, plan)
+        emit(f"bsr_lup_nofill_nb{nb}_ms", t * 1e3, "ms",
+             t / nb * 1e6)  # vs_baseline = us per block column
+        emit(f"bsr_lup_nofill_nb{nb}_mnnzps", nnz / t / 1e6, "Mnnz/s")
+
+        lu, _ = bsr_lu_numeric_apply(plan, a, pivot=True)
+        fplan = bsr_tri_plan(lu, lower=True)
+        b0 = jnp.asarray(
+            rng.standard_normal(nb * bsz).astype(np.float32) * 0.01)
+
+        def sweep_step(v, lu, fplan):
+            y = bsr_forsolve(lu, v, fplan)
+            return y / (jnp.max(jnp.abs(y)) + 1.0)
+
+        t = timed_chain(sweep_step, b0, lu, fplan)
+        emit(f"bsr_forsolve_nb{nb}_ms", t * 1e3, "ms", t / nb * 1e6)
+        emit(f"bsr_forsolve_nb{nb}_mnnzps",
+             a.nbz * bsz * bsz / 2 / t / 1e6, "Mnnz/s")
+
+    # -- preconditioned CG end-to-end (1-device mesh) ----------------------
+    from sparse_tpu.parallel import cg_solve, make_1d_mesh, pcg_solve, pcsr_from_csr
+    from sparse_tpu.parallel.pcsr import shard_vector
+    from sparse_tpu.solve.precond import (
+        block_jacobi_prepare,
+        bsr_ilu0_preconditioner,
+    )
+
+    nb = 500 if quick else 2000
+    a_bsr = block_band(nb, spd=True)
+    n = nb * bsz
+    a_csr = bsr_to_csr(a_bsr)
+    mesh = make_1d_mesh(1)
+    pa = pcsr_from_csr(a_csr, mesh)
+    b_np = rng.standard_normal(n).astype(np.float32)
+    b = shard_vector(jnp.asarray(b_np), pa, mesh)
+    L = pa.rows_per_shard * pa.n_shards
+    iters = 40
+    an = np.asarray(bsr_to_csr(a_bsr).data)  # noqa: F841  (warm transfer)
+
+    def resid(x):
+        from sparse_tpu.formats.csr import csr_smvm
+
+        r = np.asarray(csr_smvm(a_csr, jnp.asarray(np.asarray(x)[:n]))) - b_np
+        return float(np.linalg.norm(r) / np.linalg.norm(b_np))
+
+    import time as _time
+
+    def timed_solve(jfn, *args):
+        # jit the WHOLE solve once per variant: an un-jitted call would
+        # rebuild the fori_loop closure (and recompile) every invocation
+        x = jfn(*args)
+        jax.block_until_ready(x)
+        best = np.inf
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            jax.block_until_ready(jfn(*args))
+            best = min(best, _time.perf_counter() - t0)
+        return x, best
+
+    cg_j = jax.jit(lambda pa, b: cg_solve(pa, b, mesh, iters=iters))
+    x, t = timed_solve(cg_j, pa, b)
+    emit("solver_cg_ms_per_iter", t / iters * 1e3, "ms", resid(x))
+
+    inv_bj = block_jacobi_prepare(a_csr, bsz, padded_n=L)
+    bj_j = jax.jit(
+        lambda pa, b, inv: pcg_solve(pa, b, inv, mesh, iters=iters))
+    x, t = timed_solve(bj_j, pa, b, inv_bj)
+    emit("solver_pcg_blockjacobi_ms_per_iter", t / iters * 1e3, "ms",
+         resid(x))
+
+    M = bsr_ilu0_preconditioner(a_bsr, padded_n=L)
+    ilu_j = jax.jit(lambda pa, b: pcg_solve(pa, b, M, mesh, iters=iters))
+    x, t = timed_solve(ilu_j, pa, b)
+    emit("solver_pcg_ilu0_ms_per_iter", t / iters * 1e3, "ms", resid(x))
+
+    # the same CG through the fast segment-tile halo matvec (round 5):
+    # the solver stack inherits the distributed fast path via dist_spmv
+    from sparse_tpu.parallel import halo_partition_segtile
+
+    hs = halo_partition_segtile(a_csr, mesh)
+    cg_seg_j = jax.jit(lambda hs, b: cg_solve(hs, b, mesh, iters=iters))
+    x, t = timed_solve(cg_seg_j, hs, b)
+    emit("solver_cg_segtile_ms_per_iter", t / iters * 1e3, "ms", resid(x))
+
+    # ILU(0) against the FAST matvec: isolates what the two sequential
+    # triangular sweeps cost per iteration relative to a ~sub-ms matvec
+    ilu_seg_j = jax.jit(lambda hs, b: pcg_solve(hs, b, M, mesh, iters=iters))
+    x, t = timed_solve(ilu_seg_j, hs, b)
+    emit("solver_pcg_ilu0_segtile_ms_per_iter", t / iters * 1e3, "ms",
+         resid(x))
+    bj_seg_j = jax.jit(
+        lambda hs, b, inv: pcg_solve(hs, b, inv, mesh, iters=iters))
+    x, t = timed_solve(bj_seg_j, hs, b, inv_bj)
+    emit("solver_pcg_blockjacobi_segtile_ms_per_iter", t / iters * 1e3,
+         "ms", resid(x))
+
+
 if __name__ == "__main__":
     quick = "--quick" in sys.argv
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
@@ -943,7 +1107,7 @@ if __name__ == "__main__":
     for section in (bench_csr, bench_csr_segtile, bench_reorder,
                     bench_real_matrices, bench_bell, bench_bell_accuracy,
                     bench_spgemm, bench_spgemm_prepared, bench_bsr_spgemm,
-                    bench_distributed, bench_weak_scaling):
+                    bench_solvers, bench_distributed, bench_weak_scaling):
         if only and not any(o in section.__name__ for o in only):
             continue
         try:

@@ -60,6 +60,9 @@ __all__ = [
     "bsr_factorize",
     "BSRFactorization",
     "bsr_ols",
+    "LuNumericPlan",
+    "bsr_lu_numeric_prepare",
+    "bsr_lu_numeric_apply",
 ]
 
 
@@ -167,6 +170,45 @@ def _lu_plan(a: BSR):
     )
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["diag", "p21", "p12", "s1", "s2", "st", "pleft"],
+    meta_fields=["nb", "bsz"],
+)
+@dataclass(frozen=True)
+class LuNumericPlan:
+    """Static per-step index plan of the LU numeric phase (one row per
+    block column; padded lanes point at the zero scratch slot).  Built once
+    per sparsity pattern by :func:`bsr_lu_numeric_prepare`; the numeric
+    phase (:func:`bsr_lu_numeric_apply`) is then fully jittable with the
+    plan as an argument — re-factorize changed VALUES without re-running
+    the host symbolic pass (the same prepare/apply idiom as the SpGEMM and
+    triangular-solve plans)."""
+
+    diag: jax.Array
+    p21: jax.Array
+    p12: jax.Array
+    s1: jax.Array
+    s2: jax.Array
+    st: jax.Array
+    pleft: jax.Array
+    nb: int
+    bsz: int
+
+
+def bsr_lu_numeric_prepare(a: BSR) -> LuNumericPlan:
+    """Host-side symbolic pass over the (fill-complete) pattern of ``a``
+    (eager, once per pattern).  Pair with :func:`bsr_lu_numeric_apply`."""
+    return LuNumericPlan(*_lu_plan(a), nb=a.nb, bsz=a.bsz)
+
+
+def bsr_lu_numeric_apply(plan: LuNumericPlan, a: BSR,
+                         pivot: bool = True) -> tuple[BSR, jax.Array]:
+    """Numeric right-looking block LU over ``plan``'s pattern (values may
+    change, pattern must not).  jit-compatible given the plan."""
+    return _lu_steps(a, plan, pivot)
+
+
 def _lu_numeric(a: BSR, pivot: bool) -> tuple[BSR, jax.Array]:
     """Right-looking block LU over a fixed pattern (no fill); numeric phase.
 
@@ -177,8 +219,14 @@ def _lu_numeric(a: BSR, pivot: bool) -> tuple[BSR, jax.Array]:
     solves of the padded column/row panels (MXU-batched), and one batched
     Schur einsum on the padded pair plan — fully on-device, no host sync.
     """
-    nb, bsz = a.nb, a.bsz
-    diag, p21, p12, s1, s2, st, pleft = _lu_plan(a)
+    return _lu_steps(a, bsr_lu_numeric_prepare(a), pivot)
+
+
+def _lu_steps(a: BSR, plan: LuNumericPlan, pivot: bool) -> tuple[BSR, jax.Array]:
+    nb, bsz = plan.nb, plan.bsz
+    diag, p21, p12, s1, s2, st, pleft = (
+        plan.diag, plan.p21, plan.p12, plan.s1, plan.s2, plan.st, plan.pleft
+    )
     # scratch slot at index nbz: zero block, absorbs padded-lane updates
     blocks0 = jnp.concatenate(
         [a.blocks, jnp.zeros((1, bsz, bsz), a.blocks.dtype)]
