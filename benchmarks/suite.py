@@ -395,6 +395,66 @@ def bench_real_matrices(quick):
         emit(f"{tag}_scalar_spgemm_apply_gflops", sflops / t / 1e9,
              "GFLOP/s")
 
+    def run_block_granule(tag, a):
+        """Natural-2x2-block matrices (elasticity class): the block-granule
+        segment-tile kernel — one slot = one block, block-preserving RCM,
+        block-granule permutes (round 5, ops/pallas_csr_block.py)."""
+        import contextlib
+
+        import jax
+
+        from sparse_tpu.formats.bsr import BSR_MAX_NB, csr_to_bsr
+        from sparse_tpu.ops.pallas_csr_block import (
+            block_segtile_hbm_bytes,
+            block_segtile_issue_seconds,
+            bsr_smvm_segtile_block,
+            build_seg_tiles_block,
+        )
+        from sparse_tpu.ops.reorder import csr_permute, rcm_order_blocked
+        from sparse_tpu.utils.stats import csr_min_bytes, nnz_roofline
+
+        if not on_tpu:
+            return
+        n = a.shape[0]
+        nnz = int(np.asarray(a.indptr)[-1])
+        wide = n // 2 > BSR_MAX_NB
+        ctx = jax.enable_x64() if wide else contextlib.nullcontext()
+        with ctx:
+            perm = rcm_order_blocked(a, 2)
+            apb = csr_permute(a, perm, perm)
+            ab = csr_to_bsr(apb, 2)
+            # wsub=16 measured best on elasticity-400k (8: 7.91 ms,
+            # 16: 6.41, 32: 6.44 — docs/performance.md round 5)
+            bplan = build_seg_tiles_block(ab, wsub=16)
+            emit(f"{tag}_blockseg_fill", bplan.fill, "ratio")
+            v0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+            tk = timed_chain(
+                lambda x, ab, p: bsr_smvm_segtile_block(ab, x, p),
+                v0, ab, bplan,
+            )
+            emit(f"{tag}_blockseg_kernel_nnzps", nnz / tk / 1e9, "Gnnz/s")
+            rl = nnz_roofline(
+                nnz, min_bytes=csr_min_bytes(apb),
+                plan_bytes=block_segtile_hbm_bytes(bplan),
+                issue_s=block_segtile_issue_seconds(bplan), seconds=tk,
+            )
+            emit(f"{tag}_blockseg_frac_of_nnz_roofline",
+                 rl["frac_of_nnz_roofline"], "frac", rl["structural_frac"])
+            # end-to-end: both permute ends as block-granule gathers (the
+            # scatter-unpermute measured 9.49 vs 7.71 ms; docs round 5)
+            pbj = jnp.asarray((perm // 2)[::2])
+            inv = np.empty(n // 2, np.int64)
+            inv[(perm // 2)[::2]] = np.arange(n // 2)
+            ibj = jnp.asarray(inv)
+
+            def e2e(x, ab, p, pbj, ibj):
+                xb = x.reshape(-1, 2)[pbj].reshape(-1)
+                y = bsr_smvm_segtile_block(ab, xb, p)
+                return y.reshape(-1, 2)[ibj].reshape(-1)
+
+            t = timed_chain(e2e, v0, ab, bplan, pbj, ibj)
+            emit(f"{tag}_blockseg_e2e_nnzps", nnz / t / 1e9, "Gnnz/s")
+
     from sparse_tpu import CSR
     from sparse_tpu.formats.bsr import BSR
 
@@ -404,6 +464,7 @@ def bench_real_matrices(quick):
         run_one(path.stem, a)
         if "elasticity" in path.stem:
             run_block_spgemm(path.stem, a)
+            run_block_granule(path.stem, a)
 
     if not quick:
         # large FEM instances, generated in-process (roofline-relevant
@@ -424,6 +485,7 @@ def bench_real_matrices(quick):
         ela = to_csr(elasticity_fem(n_points=200_000, seed=7))
         run_one("fem_elasticity_400k", ela)
         run_block_spgemm("fem_elasticity_400k", ela)
+        run_block_granule("fem_elasticity_400k", ela)
         # webbase class at scale: round 4's first-fit packing lifts
         # power-law fill above the dispatch floor (0.030 vs round 3's
         # 0.012), so the graph class now takes the segtile kernel too

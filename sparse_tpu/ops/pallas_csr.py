@@ -393,6 +393,40 @@ def _finish_plan(a, n, m, nnz, wsub, R, pos_src, sub_src, src_index,
     )
 
 
+def _take_sublane(src, idx):
+    """int32-safe ``take_along_axis(src, idx, axis=0)`` on (8, 128) tiles.
+    ``jnp.take_along_axis`` hard-casts indices to int64 under jax x64 (its
+    negative-index fixup), which Mosaic cannot lower; this emits the
+    identical gather with the int32 indices as-is (the plan guarantees
+    0 <= idx < 8, so the fixup is dead code)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,),
+        operand_batching_dims=(1,), start_indices_batching_dims=(1,),
+    )
+    return jax.lax.gather(
+        src, idx[..., None], dnums, (1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
+def _gather_window(seg, qg, wsub):
+    """One (8, 128) operand vreg: window values selected by the sublane
+    pointers ``qg``.  Mosaic's dynamic gather requires indices.shape ==
+    src.shape: gather each 8-sublane chunk of the window with the SHARED
+    masked index ``qg & 7`` and select by the chunk bits (``qg >> 3``) —
+    out-of-chunk gathers read in-bounds junk that the select discards
+    (wsub=8 stays one native gather with no masking at all, since the plan
+    guarantees q < 8)."""
+    if wsub == 8:
+        return _take_sublane(seg[0:8], qg)
+    qm = qg & 7
+    gx = _take_sublane(seg[0:8], qm)
+    for c in range(1, wsub // 8):
+        gc = _take_sublane(seg[c * 8:(c + 1) * 8], qm)
+        gx = jnp.where(qg >= c * 8, gc, gx)
+    return gx
+
+
 def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
                      *, reduce: str = "vpu", batch: int | None = None,
                      interpret: bool = False) -> jax.Array:
@@ -459,38 +493,8 @@ def segtile_apply(vals, q, seg_of, rb, v, *, n: int, wsub: int, rows: int,
     # (per-tile conditionals): 20.0 ms — the conditionals defeat Mosaic
     # pipelining.  R=32 shares one window slice + one output RMW across 4
     # vreg-rows of slots (round 4).
-    def _take_sublane(src, idx):
-        """int32-safe ``take_along_axis(src, idx, axis=0)`` on (8, 128)
-        tiles.  ``jnp.take_along_axis`` hard-casts indices to int64 under
-        jax x64 (its negative-index fixup), which Mosaic cannot lower;
-        this emits the identical gather with the int32 indices as-is (the
-        plan guarantees 0 <= idx < 8, so the fixup is dead code)."""
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,),
-            operand_batching_dims=(1,), start_indices_batching_dims=(1,),
-        )
-        return jax.lax.gather(
-            src, idx[..., None], dnums, (1, 1),
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        )
-
     def _gathered(seg, q, gi):
-        """Product operand vreg gi of a tile: window values selected by the
-        sublane pointers.  Mosaic's dynamic gather requires indices.shape ==
-        src.shape: gather each 8-sublane chunk of the window with the SHARED
-        masked index ``q & 7`` and select by the chunk bits (``q >> 3``) —
-        out-of-chunk gathers read in-bounds junk that the select discards
-        (wsub=8 stays one native gather with no masking at all, since the
-        plan guarantees q < 8)."""
-        qg = q[gi * 8:(gi + 1) * 8]
-        if wsub == 8:
-            return _take_sublane(seg[0:8], qg)
-        qm = qg & 7
-        gx = _take_sublane(seg[0:8], qm)
-        for c in range(1, wsub // 8):
-            gc = _take_sublane(seg[c * 8:(c + 1) * 8], qm)
-            gx = jnp.where(qg >= c * 8, gc, gx)
-        return gx
+        return _gather_window(seg, q[gi * 8:(gi + 1) * 8], wsub)
 
     def kernel_vpu(seg_of, rb, vals_ref, q_ref, v_ref, o_ref):
         g = pl.program_id(0)

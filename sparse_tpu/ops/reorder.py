@@ -44,6 +44,7 @@ from .segmented import INDEX_DTYPE
 
 __all__ = [
     "rcm_order",
+    "rcm_order_blocked",
     "csr_bandwidth",
     "PermutePlan",
     "permute_prepare",
@@ -119,6 +120,38 @@ def _rcm_numpy(indptr: np.ndarray, cols: np.ndarray, n: int) -> np.ndarray:
                 perm[tail:tail + nb.size] = nb
                 tail += nb.size
     return perm[::-1].copy()
+
+
+def rcm_order_blocked(a: CSR, bsz: int) -> np.ndarray:
+    """RCM on the BLOCK graph of a square CSR with natural ``bsz x bsz``
+    blocks, expanded back to a scalar permutation that keeps each block's
+    rows adjacent and in order.
+
+    Scalar :func:`rcm_order` interleaves a block's rows with its
+    neighbours' (it knows nothing about blocks), destroying the dense-block
+    adjacency the block-granule kernels need
+    (ops/pallas_csr_block.py); this variant permutes whole blocks.  ``n``
+    must be divisible by ``bsz``; the pattern need not have full block
+    fill (the block graph is the union pattern)."""
+    n, m = a.shape
+    if n != m:
+        raise ValueError(f"rcm_order_blocked: square required, got {a.shape}")
+    if bsz <= 0 or n % bsz:
+        raise ValueError(f"rcm_order_blocked: bsz {bsz} must divide n {n}")
+    indptr = np.asarray(a.indptr, np.int64)
+    k = int(indptr[-1])
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    cols = np.asarray(a.indices[:k], np.int64)
+    nb = n // bsz
+    key = np.unique((rows // bsz) * nb + (cols // bsz))
+    bptr = np.zeros(nb + 1, np.int64)
+    np.cumsum(np.bincount((key // nb).astype(np.int64), minlength=nb),
+              out=bptr[1:])
+    bcols = (key % nb).astype(np.int64)
+    pb = plansort.rcm_order(bptr, bcols)
+    if pb is None:
+        pb = _rcm_numpy(bptr, bcols, nb)
+    return (pb[:, None] * bsz + np.arange(bsz, dtype=np.int64)).reshape(-1)
 
 
 def csr_bandwidth(a: CSR) -> int:
