@@ -491,8 +491,29 @@ def bench_real_matrices(quick):
         # 0.012), so the graph class now takes the segtile kernel too
         from gen_fixtures import powerlaw_graph
 
-        run_one("graph_powerlaw_1m", to_csr(powerlaw_graph(n=1_000_000,
-                                                           seed=8)))
+        pg = to_csr(powerlaw_graph(n=1_000_000, seed=8))
+        run_one("graph_powerlaw_1m", pg)
+        if on_tpu:
+            # hub/tail split (round 5): top-degree strip through segment
+            # tiles (degree-ordered compact space), tail on the XLA path
+            from sparse_tpu.ops.hub_split import (
+                hub_split_prepare,
+                hub_split_smvm,
+            )
+            from sparse_tpu.ops.spmv import build_spmv_plan, csr_smvm_fast
+
+            nnz = int(np.asarray(pg.indptr)[-1])
+            v0 = jnp.asarray(
+                rng.standard_normal(pg.shape[1]).astype(np.float32))
+            px = build_spmv_plan(pg)
+            t_xla = timed_chain(lambda v, a, p: csr_smvm_fast(a, v, p),
+                                v0, pg, px)
+            split = hub_split_prepare(pg)
+            emit("graph_powerlaw_1m_hub_fraction", split.hub_fraction,
+                 "frac")
+            t = timed_chain(lambda v, sp: hub_split_smvm(sp, v), v0, split)
+            emit("graph_powerlaw_1m_hubsplit_nnzps", nnz / t / 1e9,
+                 "Gnnz/s", t_xla / t)
 
 
 def bench_bell(quick):

@@ -297,3 +297,40 @@ def test_smvm_auto_falls_back_on_tile_overflow(monkeypatch):
     got = pc.csr_smvm_auto(a, x)
     np.testing.assert_allclose(np.asarray(got), A @ np.asarray(x),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_hub_split_matches_oracle():
+    """Hub/tail split SpMV (ops/hub_split.py): exact vs csr_smvm on a
+    power-law fixture; the hub strip takes a meaningful entry share and
+    the compact hub space is degree-ordered."""
+    import sys
+
+    from sparse_tpu.ops.hub_split import hub_split_prepare, hub_split_smvm
+
+    rng = np.random.default_rng(0)
+    n = 3000
+    # heavy-tailed column distribution (zipf-ish)
+    per_row = 6
+    rows = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    cols = (np.minimum(rng.zipf(1.3, rows.size), n) - 1).astype(np.int64)
+    import scipy.sparse as sp
+
+    s = sp.coo_matrix(
+        (rng.standard_normal(rows.size).astype(np.float32), (rows, cols)),
+        shape=(n, n),
+    ).tocsr()
+    s.sum_duplicates()
+    from sparse_tpu import CSR
+
+    a = CSR(data=jnp.asarray(s.data), indices=jnp.asarray(s.indices),
+            indptr=jnp.asarray(s.indptr.astype(np.int64)), shape=(n, n))
+    split = hub_split_prepare(a, max_hub_cols=256, wsub=8)
+    assert 0.05 < split.hub_fraction < 1.0
+    # degree-ordered compact space: hub col 0 has the max degree
+    deg = np.bincount(np.asarray(s.indices), minlength=n)
+    assert deg[int(split.hub_cols[0])] == deg.max()
+    v = rng.standard_normal(n).astype(np.float32)
+    y = hub_split_smvm(split, jnp.asarray(v), interpret=True)
+    np.testing.assert_allclose(np.asarray(y), s @ v, rtol=2e-4, atol=2e-4)
+    with pytest.raises(ValueError, match="shape"):
+        hub_split_smvm(split, jnp.zeros(5))
