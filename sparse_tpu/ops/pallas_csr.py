@@ -77,8 +77,10 @@ def _k_step(rows: int, n_real: int = 1 << 30) -> int:
     10M-nnz band, 64 -> 128 -> 256 -> 512 tiles/step ran 8.99 -> 8.79 ->
     8.40 -> 8.24 ms (1024 blows the unrolled-body compile budget).  Small
     plans keep a 64-tile step so tiny matrices don't pad to 512 inert
-    tiles."""
-    base = _K if n_real >= 4 * _K else 64
+    tiles, and TINY plans (< 64 real tiles — test fixtures, trivial
+    matrices) a 16-tile step: the unrolled body compiles ~4x faster and
+    the extra grid steps cost ~a microsecond where performance is moot."""
+    base = _K if n_real >= 4 * _K else (64 if n_real >= 64 else 16)
     return max(base * 8 // rows, 1)
 
 

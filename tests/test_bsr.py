@@ -124,7 +124,10 @@ def ref_diag_pattern(n):
     return bsr_make(n, BSZ, blocks)
 
 
-@pytest.mark.parametrize("n", [2, 4, 8])
+@pytest.mark.parametrize("n", [
+    2, 4,
+    pytest.param(8, marks=pytest.mark.slow),  # breadth (budget r5)
+])
 @pytest.mark.parametrize("op", ["add", "sub_identity", "mul"])
 def test_op_identities(n, op):
     c = corner_block(n)
@@ -146,7 +149,10 @@ def test_op_identities(n, op):
     )
 
 
-@pytest.mark.parametrize("n,bsz", [(8, 2), (16, 4), (16, 8)])
+@pytest.mark.parametrize("n,bsz", [
+    (8, 2), (16, 4),
+    pytest.param(16, 8, marks=pytest.mark.slow),  # breadth
+])
 def test_elementwise_oracle(n, bsz):
     rng = np.random.default_rng(n + bsz)
     xa = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.4)
@@ -183,7 +189,11 @@ def test_smvm_smsmm_golden(n):
     )
 
 
-@pytest.mark.parametrize("n,bsz,density", [(8, 2, 0.5), (16, 4, 0.3), (32, 8, 0.2)])
+@pytest.mark.parametrize("n,bsz,density", [
+    (8, 2, 0.5),
+    (16, 4, 0.3),
+    pytest.param(32, 8, 0.2, marks=pytest.mark.slow),  # breadth
+])
 def test_matmul_oracle(n, bsz, density):
     rng = np.random.default_rng(int(n * bsz * density * 100))
     nb = n // bsz

@@ -17,7 +17,11 @@ def random_bsr(n, bsz, density, seed):
     return bsr_from_dense(jnp.asarray(x), bsz), x
 
 
-@pytest.mark.parametrize("n,bsz,density", [(16, 2, 0.5), (32, 8, 0.3), (64, 4, 0.1)])
+@pytest.mark.parametrize("n,bsz,density", [
+    (16, 2, 0.5),
+    (32, 8, 0.3),
+    pytest.param(64, 4, 0.1, marks=pytest.mark.slow),  # breadth (budget)
+])
 def test_smvm_ell_matches(n, bsz, density):
     a, xa = random_bsr(n, bsz, density, seed=n + bsz)
     v = jnp.asarray(np.random.default_rng(0).standard_normal(n))

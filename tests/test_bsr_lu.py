@@ -90,7 +90,10 @@ def test_solve_full_golden():
     np.testing.assert_allclose(np.asarray(x), [3.0, 4, -6, -1], rtol=1e-10)
 
 
-@pytest.mark.parametrize("n", [3, 4, 5, 8])
+@pytest.mark.parametrize("n", [
+    3, 4, 5,
+    pytest.param(8, marks=pytest.mark.slow),  # breadth (budget r5)
+])
 def test_solve_sparse_reconstruction(n):
     # blocked_square_regular_test.fut:239-257
     m = mk_blkdiag(n)
@@ -102,7 +105,10 @@ def test_solve_sparse_reconstruction(n):
     assert np.max(np.abs(md[np.asarray(p)] - dense(LU))) < EPS
 
 
-@pytest.mark.parametrize("n", [3, 4, 5, 8])
+@pytest.mark.parametrize("n", [
+    3, 4, 5,
+    pytest.param(8, marks=pytest.mark.slow),  # breadth (budget r5)
+])
 def test_solve_sparse2_reconstruction(n):
     # blocked_square_regular_test.fut:259-279 (pattern with fills)
     m = with_offdiag(n)
@@ -112,7 +118,10 @@ def test_solve_sparse2_reconstruction(n):
     assert np.max(np.abs(md[np.asarray(p)] - dense(LU))) < EPS
 
 
-@pytest.mark.parametrize("n", [3, 4, 5, 8])
+@pytest.mark.parametrize("n", [
+    3, 4, 5,
+    pytest.param(8, marks=pytest.mark.slow),  # breadth (budget r5)
+])
 def test_ols_residual(n):
     # blocked_square_regular_test.fut:281-298
     m = with_offdiag(n)
@@ -123,7 +132,10 @@ def test_ols_residual(n):
     )
 
 
-@pytest.mark.parametrize("n", [3, 4, 5, 8])
+@pytest.mark.parametrize("n", [
+    3, 4, 5,
+    pytest.param(8, marks=pytest.mark.slow),  # breadth (budget r5)
+])
 def test_lu_nopivot_reconstruction(n):
     # blocked_square_regular_test.fut:300-317
     m = bsr_add(mk_blkdiag(n), bsr_transpose(mk_blkdiag(n)))

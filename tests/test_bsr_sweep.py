@@ -89,7 +89,11 @@ def mk_blkdiag(nb, bsz):
 
 
 @pytest.mark.parametrize("bsz", [2, 3, 4])
-@pytest.mark.parametrize("nb", [3, 5, 8])
+@pytest.mark.parametrize("nb", [
+    3,
+    pytest.param(5, marks=pytest.mark.slow),  # breadth (suite budget r5)
+    pytest.param(8, marks=pytest.mark.slow),
+])
 def test_solver_sweep(bsz, nb):
     n = nb * bsz
     m = bsr_add(mk_blkdiag(nb, bsz), bsr_transpose(mk_blkdiag(nb, bsz)))

@@ -171,9 +171,9 @@ def test_add_sub_scale_diag_random():
 
 def test_smvm_random_vs_scipy():
     rng = np.random.default_rng(1)
-    # two trials: every random shape is a fresh compile; breadth lives in
+    # one trial: every random shape is a fresh compile; breadth lives in
     # tests/test_fuzz.py
-    for trial in range(2):
+    for trial in range(1):
         n, m = int(rng.integers(1, 50)), int(rng.integers(1, 50))
         da = sp.random(n, m, density=0.25, random_state=rng, dtype=np.float64).tocsr()
         v = rng.standard_normal(m)

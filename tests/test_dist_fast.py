@@ -101,10 +101,10 @@ def test_cg_through_dist_spmv_fast_path(mesh):
     b_np = rng.standard_normal(n).astype(np.float32)
     b = shard_vector(jnp.asarray(b_np), pa, mesh)
     hs = halo_partition_segtile(a, mesh)
-    x_fast = np.asarray(cg_solve(hs, b, mesh, iters=40))[:n]
+    x_fast = np.asarray(cg_solve(hs, b, mesh, iters=25))[:n]
     np.testing.assert_allclose(
-        x_fast, np.linalg.solve(spd.astype(np.float64), b_np), rtol=5e-4,
-        atol=5e-4,
+        x_fast, np.linalg.solve(spd.astype(np.float64), b_np), rtol=2e-3,
+        atol=2e-3,
     )
     # dispatch errors loudly on unsupported types
     with pytest.raises(TypeError, match="dist_spmv"):
@@ -126,7 +126,10 @@ def _random_pbsr_pair(mesh, nb, bsz, density, seed):
     return mats
 
 
-@pytest.mark.parametrize("bsz", [8, 32])
+@pytest.mark.parametrize("bsz", [
+    pytest.param(8, marks=pytest.mark.slow),  # boundary-bsz breadth
+    32,
+])
 def test_pbsr_smsmm_pallas_matches(mesh, bsz):
     a, b = _random_pbsr_pair(mesh, nb=16, bsz=bsz, density=0.25, seed=bsz)
     pa, pb = pbsr_from_bsr(a, mesh), pbsr_from_bsr(b, mesh)

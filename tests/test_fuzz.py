@@ -26,8 +26,9 @@ from sparse_tpu.ops.spmv import build_spmv_plan, csr_smvm_fast
 # quick cases cover the regimes (degenerate, rectangular, sparse and
 # dense fill); the rest are breadth-only and run with -m slow (each
 # distinct shape-set costs ~10-25 s of XLA compiles on this host)
-CASES = [(1, 1, 1.0), (31, 17, 0.33), (13, 13, 0.08)]
-SLOW_CASES = [(64, 64, 0.02), (5, 40, 0.9), (2, 7, 0.5), (40, 5, 0.15)]
+CASES = [(1, 1, 1.0), (13, 13, 0.08)]
+SLOW_CASES = [(31, 17, 0.33), (64, 64, 0.02), (5, 40, 0.9), (2, 7, 0.5),
+              (40, 5, 0.15)]
 
 
 @pytest.mark.parametrize(
@@ -62,8 +63,12 @@ def test_csr_consistency(n, m, density):
     )
 
 
-@pytest.mark.parametrize("nb,bsz,density", [(1, 2, 1.0), (3, 4, 0.6),
-                                            (7, 3, 0.2), (5, 8, 0.1)])
+@pytest.mark.parametrize("nb,bsz,density", [
+    (1, 2, 1.0),
+    pytest.param(3, 4, 0.6, marks=pytest.mark.slow),  # breadth
+    pytest.param(7, 3, 0.2, marks=pytest.mark.slow),  # breadth
+    (5, 8, 0.1),
+])
 def test_bsr_bell_consistency(nb, bsz, density):
     n = nb * bsz
     rng = np.random.default_rng(hash((nb, bsz)) % 2**32)
@@ -86,7 +91,7 @@ def test_bsr_bell_consistency(nb, bsz, density):
 
 
 @pytest.mark.parametrize("n,m,k,da,db", [
-    (17, 23, 11, 0.25, 0.2),
+    pytest.param(17, 23, 11, 0.25, 0.2, marks=pytest.mark.slow),
     pytest.param(40, 8, 31, 0.1, 0.5, marks=pytest.mark.slow),
     (9, 9, 9, 0.6, 0.6),
 ])

@@ -25,7 +25,11 @@ def banded(n, bw, seed):
     return x
 
 
-@pytest.mark.parametrize("n,bw", [(64, 3), (100, 5), (17, 2)])
+@pytest.mark.parametrize("n,bw", [
+    pytest.param(64, 3, marks=pytest.mark.slow),  # breadth (budget r5)
+    pytest.param(100, 5, marks=pytest.mark.slow),  # breadth
+    (17, 2),
+])
 def test_halo_matches_oracle(mesh, n, bw):
     x = banded(n, bw, seed=n)
     a = csr_from_dense(jnp.asarray(x))
@@ -67,6 +71,8 @@ def test_halo_under_jit(mesh):
                                rtol=1e-10)
 
 
+@pytest.mark.slow  # breadth: overlapped==plain also asserted by
+# test_halo_overlapped_random_and_jit and the driver dryrun
 def test_halo_overlapped_matches_oracle(mesh):
     from sparse_tpu.parallel.halo import (
         halo_partition_overlapped,

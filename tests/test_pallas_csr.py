@@ -106,7 +106,10 @@ def test_auto_falls_back_off_tpu():
     np.testing.assert_allclose(got, A @ x, rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("wsub", [16, 32])
+@pytest.mark.parametrize("wsub", [
+    16,
+    pytest.param(32, marks=pytest.mark.slow),  # breadth
+])
 def test_segtile_wide_windows_match(wsub):
     # wider operand windows (wsub sublanes = wsub*128 columns) must agree
     # with the oracle and pack banded blocks into fewer tiles than wsub=8
@@ -308,9 +311,9 @@ def test_hub_split_matches_oracle():
     from sparse_tpu.ops.hub_split import hub_split_prepare, hub_split_smvm
 
     rng = np.random.default_rng(0)
-    n = 3000
+    n = 1000
     # heavy-tailed column distribution (zipf-ish)
-    per_row = 6
+    per_row = 5
     rows = np.repeat(np.arange(n, dtype=np.int64), per_row)
     cols = (np.minimum(rng.zipf(1.3, rows.size), n) - 1).astype(np.int64)
     import scipy.sparse as sp
@@ -324,7 +327,7 @@ def test_hub_split_matches_oracle():
 
     a = CSR(data=jnp.asarray(s.data), indices=jnp.asarray(s.indices),
             indptr=jnp.asarray(s.indptr.astype(np.int64)), shape=(n, n))
-    split = hub_split_prepare(a, max_hub_cols=256, wsub=8)
+    split = hub_split_prepare(a, max_hub_cols=128, wsub=8)
     assert 0.05 < split.hub_fraction < 1.0
     # degree-ordered compact space: hub col 0 has the max degree
     deg = np.bincount(np.asarray(s.indices), minlength=n)

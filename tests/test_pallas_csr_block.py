@@ -54,7 +54,10 @@ def test_rcm_order_blocked_preserves_blocks():
         rcm_order_blocked(a, 5)
 
 
-@pytest.mark.parametrize("wsub", [8, 16])
+@pytest.mark.parametrize("wsub", [
+    pytest.param(8, marks=pytest.mark.slow),  # breadth; 16 is production
+    16,
+])
 def test_block_segtile_matches_oracle(wsub):
     x = _block_matrix(64, 2, seed=1)
     a = st.csr_from_dense(jnp.asarray(x))

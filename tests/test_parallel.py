@@ -56,7 +56,10 @@ def test_pcsr_spmv_matches_local(mesh, n, m, density):
     )
 
 
-@pytest.mark.parametrize("k", [1, 8, 32])
+@pytest.mark.parametrize("k", [
+    pytest.param(1, marks=pytest.mark.slow),  # k=1 == the spmv tests
+    8, 32,
+])
 def test_pcsr_spmm_matches_local(mesh, k):
     n, m = 48, 56
     a, _ = random_csr(n, m, 0.15, seed=7)
@@ -297,6 +300,8 @@ def test_pcsr_spgemm_aa_banded_comm_small(mesh):
     )
 
 
+@pytest.mark.slow  # breadth: the module-level jit path is the same
+# exec the default aa test drives
 def test_pcsr_spgemm_aa_under_jit(mesh):
     from sparse_tpu.parallel.pspgemm import build_pspgemm_plan, pcsr_spgemm_aa
 
@@ -333,6 +338,7 @@ def test_pcsr_transpose_device_matches(mesh):
         )
 
 
+@pytest.mark.slow  # breadth: also exercised by the driver dryrun
 def test_pcsr_transpose_roundtrip_device(mesh):
     from sparse_tpu.parallel.pspgemm import (
         build_transpose_plan,
@@ -374,6 +380,8 @@ def test_gmres_nonsymmetric_with_and_without_jacobi(mesh):
                                atol=1e-6)
 
 
+@pytest.mark.slow  # breadth: block-jacobi apply pinned in
+# test_precond; the on-mesh pairing measured by the suite solver section
 def test_block_jacobi_pcg_and_gmres(mesh):
     from sparse_tpu import block_jacobi_apply, block_jacobi_prepare
     from sparse_tpu.parallel import gmres_solve, pcg_solve
@@ -453,6 +461,8 @@ def test_chebyshev_preconditioned_cg(mesh):
                                atol=1e-8)
 
 
+@pytest.mark.slow  # breadth: ILU(0) semantics pinned in test_bsr_lu;
+# the on-mesh pairing is also measured by the suite's solver section
 def test_bsr_ilu0_preconditioned_gmres(mesh):
     from sparse_tpu import bsr_from_dense, bsr_ilu0_preconditioner
     from sparse_tpu.parallel import gmres_solve

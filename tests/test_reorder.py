@@ -168,6 +168,7 @@ def test_permute_plan_reuse_and_jit():
     )
 
 
+@pytest.mark.slow  # breadth: validation messages (suite budget, round 5)
 def test_permute_rejects_bad_perms():
     a = csr_from_dense(jnp.ones((3, 3)))
     with pytest.raises(ValueError, match="rperm"):

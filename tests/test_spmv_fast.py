@@ -22,7 +22,11 @@ def random_csr(n, m, density, seed):
     return csr_from_dense(jnp.asarray(x)), x
 
 
-@pytest.mark.parametrize("n,m,density", [(40, 50, 0.1), (64, 64, 0.5), (7, 100, 0.9)])
+@pytest.mark.parametrize("n,m,density", [
+    pytest.param(40, 50, 0.1, marks=pytest.mark.slow),  # breadth
+    pytest.param(64, 64, 0.5, marks=pytest.mark.slow),  # breadth (suite budget)
+    (7, 100, 0.9),
+])
 def test_ell_matches_oracle(n, m, density):
     a, xa = random_csr(n, m, density, seed=n)
     v = jnp.asarray(np.random.default_rng(0).standard_normal(m))
@@ -41,6 +45,7 @@ def test_ell_spmm_matches_oracle():
     np.testing.assert_allclose(np.asarray(got), xa @ np.asarray(b), rtol=1e-10)
 
 
+@pytest.mark.slow  # breadth: plan-shape coverage (suite budget, round 5)
 def test_skewed_rows_binned_plan():
     # one dense row + many short rows: binning keeps per-bin padding tight
     n, m = 100, 200
@@ -80,6 +85,7 @@ def test_empty_and_degenerate():
     assert np.all(np.asarray(csr_smvm_fast(a, v)) == 0)
 
 
+@pytest.mark.slow  # breadth: chunking equivalence (suite budget, round 5)
 def test_row_chunked_matches_unchunked():
     a, xa = random_csr(101, 64, 0.2, seed=13)
     v = jnp.asarray(np.random.default_rng(13).standard_normal(64))

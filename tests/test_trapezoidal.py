@@ -214,6 +214,7 @@ def test_ops_under_jit():
     np.testing.assert_allclose(np.asarray(f(a, b)), 2 * xa @ xb, rtol=1e-12)
 
 
+@pytest.mark.slow  # breadth: blocked path equivalence (suite budget)
 def test_trap_smm_blocked_matches_densify():
     # force the blocked packed path at small sizes and check it against the
     # densify path and the dense oracle: tall, wide, and square shape mixes,
