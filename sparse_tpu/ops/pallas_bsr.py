@@ -60,7 +60,7 @@ _SMEM_BUDGET = 700_000  # bytes of scalar-prefetch tables per pallas_call
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["a_idx", "b_idx", "oloc", "slab", "first", "indices"],
-    meta_fields=["chunks", "n", "bsz", "g", "p", "nbz_out"],
+    meta_fields=["chunks", "n", "bsz", "g", "p", "nbz_out", "paired"],
 )
 @dataclasses.dataclass(frozen=True)
 class BsrPallasPlan:
@@ -72,7 +72,14 @@ class BsrPallasPlan:
     slab id RELATIVE to the chunk's slab range; ``first``: (S,) int32 1 at
     each slab's first step; ``chunks``: static (step0, step1, slab0,
     slab1) per pallas_call; ``indices``: the output BSR's sorted block
-    coordinates."""
+    coordinates.
+
+    ``paired=True`` (the descriptor-coalesced variant, round 5): the A
+    stream is fetched as g/2 two-block DMAs — ``a_idx`` has (S*g/2,)
+    pair-base slots and product 2i+1 implicitly uses slot
+    ``a_idx[...]+1`` (the scheduler pairs products with adjacent A slots;
+    unpaired products get a zero-B partner).  Stream capacities must then
+    leave TWO trailing zero slots on the A side."""
 
     a_idx: jax.Array
     b_idx: jax.Array
@@ -86,6 +93,7 @@ class BsrPallasPlan:
     g: int
     p: int
     nbz_out: int
+    paired: bool = False
 
 
 def _default_gp(bsz: int, g: int | None, p: int | None) -> tuple[int, int]:
@@ -166,6 +174,123 @@ def _schedule(out_pos, s1_pos, s2_pos, pad1, pad2, n_out, indices,
         g=g,
         p=p,
         nbz_out=n_out,
+    )
+
+
+def _schedule_paired(out_pos, s1_pos, s2_pos, pad1, pad2, n_out, indices,
+                     g, p, n, bsz) -> BsrPallasPlan:
+    """:func:`_schedule` with the A stream coalesced into two-block DMAs.
+
+    Products within each slab are grouped by even-aligned A-slot WINDOW
+    (slots {2w, 2w+1}) and any two products of one window share a single
+    (2, bsz, bsz) fetch — a per-product row bit (packed into ``oloc``'s
+    second-lowest bits, see below) selects which half each product reads,
+    so (s, s), (s, s+1) and (s+1, s+1) combinations all pair (windowed
+    pairing efficiency 0.95+ on the bench fixture: each A block is fetched
+    ~9.5x).  Per step: g/2 A descriptors + g B descriptors instead of 2g —
+    the ~25%-fewer-descriptors lever on a kernel measured
+    descriptor-bound (~90 ns/fetch).  Reordering changes the
+    within-slab-row accumulation order (still deterministic: fixed plan).
+    Table encoding: ``a_idx`` is (S*g/2,) WINDOW indices (directly the
+    (2, bsz, bsz) block index); ``oloc`` is (S*g,) ``row_in_slab * 2 +
+    a_row_bit``.  ``pad1`` must be an even slot whose pair is zero blocks
+    (callers append 2-3 zero blocks to reach even alignment)."""
+    assert g % 2 == 0, "paired schedule needs an even g"
+    assert pad1 % 2 == 0, "paired schedule needs an even-aligned zero pair"
+    gp = g // 2
+    out_pos = np.asarray(out_pos, np.int64)
+    order = np.argsort(out_pos, kind="stable")
+    out_s = out_pos[order]
+    s1_s = np.asarray(s1_pos, np.int64)[order]
+    s2_s = np.asarray(s2_pos, np.int64)[order]
+    F = out_s.size
+    step_cap = max(_SMEM_BUDGET // ((3 * g + gp + 2) * 4), 256)
+    while True:
+        nslabs = max(-(-n_out // p), 1)
+        slab_of_prod = out_s // p if F else np.zeros(0, np.int64)
+        counts = np.bincount(slab_of_prod, minlength=nslabs) if F else \
+            np.zeros(nslabs, np.int64)
+        # worst-case pair-slot need per slab (every product unpaired)
+        if int((-(-np.maximum(counts, 1) // gp)).max(initial=1)) <= step_cap:
+            break
+        if p == 1:
+            raise ValueError(
+                "bsr_smsmm_pallas_prepare(paired): one output block "
+                "exceeds the SMEM budget even at p=1; use the unpaired "
+                "schedule"
+            )
+        p = max(p // 2, 1)
+
+    pstart = np.zeros(nslabs + 1, np.int64)
+    np.cumsum(counts, out=pstart[1:])
+    # per slab: windowed pairing (order products by window, then chunk in
+    # twos — equal windows are adjacent, so every full window pair shares
+    # a fetch; the odd leftover of each window may still pair with the
+    # next window's first product IF both land in one window... they
+    # don't, so it emits as a single)
+    slab_pairs = []  # (win, f1, f2) with f2 = -1 for singles
+    steps_per = np.zeros(nslabs, np.int64)
+    for sl in range(nslabs):
+        lo, hi = int(pstart[sl]), int(pstart[sl + 1])
+        if lo == hi:
+            slab_pairs.append([])
+            steps_per[sl] = 1
+            continue
+        win = s1_s[lo:hi] >> 1
+        ordw = np.argsort(win, kind="stable")
+        entries = []
+        k = 0
+        while k < ordw.size:
+            f1 = lo + int(ordw[k])
+            w = int(win[ordw[k]])
+            if k + 1 < ordw.size and int(win[ordw[k + 1]]) == w:
+                entries.append((w, f1, lo + int(ordw[k + 1])))
+                k += 2
+            else:
+                entries.append((w, f1, -1))
+                k += 1
+        slab_pairs.append(entries)
+        steps_per[sl] = -(-len(entries) // gp)
+
+    sstarts = np.zeros(nslabs + 1, np.int64)
+    np.cumsum(steps_per, out=sstarts[1:])
+    S = int(sstarts[-1])
+    a_idx = np.full(S * gp, pad1 >> 1, np.int32)  # pad window: zero pair
+    b_idx = np.full(S * g, pad2, np.int32)
+    oloc = np.zeros(S * g, np.int32)
+
+    def put(ps, half, f):
+        b_idx[2 * ps + half] = s2_s[f]
+        sl = int(out_s[f]) // p
+        oloc[2 * ps + half] = ((int(out_s[f]) - sl * p) << 1) | (
+            int(s1_s[f]) & 1)
+
+    for sl in range(nslabs):
+        base = int(sstarts[sl])
+        for k, (w, f1, f2) in enumerate(slab_pairs[sl]):
+            ps = base * gp + k
+            a_idx[ps] = w
+            put(ps, 0, f1)
+            if f2 >= 0:
+                put(ps, 1, f2)
+    slab_of_step = np.repeat(np.arange(nslabs, dtype=np.int64), steps_per)
+    first_step = np.zeros(S, np.int32)
+    first_step[sstarts[:-1]] = 1
+    chunks, slab_rel = _chunk_slabs(sstarts, slab_of_step, S, step_cap)
+    return BsrPallasPlan(
+        a_idx=jnp.asarray(a_idx),
+        b_idx=jnp.asarray(b_idx),
+        oloc=jnp.asarray(oloc),
+        slab=jnp.asarray(slab_rel),
+        first=jnp.asarray(first_step),
+        indices=indices,
+        chunks=chunks,
+        n=n,
+        bsz=bsz,
+        g=g,
+        p=p,
+        nbz_out=n_out,
+        paired=True,
     )
 
 
@@ -257,16 +382,22 @@ def schedule_stacked(out_pos_list, s1_list, s2_list, pad1, pad2,
 
 def bsr_smsmm_pallas_prepare(plan: BsrSmsmmPlan, nbz_a: int, nbz_b: int,
                              g: int | None = None,
-                             p: int | None = None) -> BsrPallasPlan:
+                             p: int | None = None,
+                             paired: bool = False) -> BsrPallasPlan:
     """Host-side DMA schedule from a block-product plan (eager, once per
     pattern pair).  ``nbz_a``/``nbz_b``: the factor matrices' stored block
     capacities (the appended zero block lands at that slot).  Defaults from
     the chip sweep (docs/performance.md): ``g=24`` product pairs per grid
-    step, slab size ``p`` targeting ~512 KB of VMEM."""
+    step, slab size ``p`` targeting ~512 KB of VMEM.  ``paired=True``
+    coalesces the A stream into two-block DMAs (:func:`_schedule_paired`)."""
     g, p = _default_gp(plan.bsz, g, p)
-    return _schedule(
+    sched = _schedule_paired if paired else _schedule
+    # paired: the zero PAIR must start even-aligned — an odd capacity gets
+    # one extra zero block (apply appends 2 + (nbz & 1) zeros to match)
+    pad_a = nbz_a + (nbz_a & 1) if paired else nbz_a
+    return sched(
         np.asarray(plan.seg), np.asarray(plan.a_pos), np.asarray(plan.b_pos),
-        nbz_a, nbz_b, plan.nbz_out, plan.indices,
+        pad_a, nbz_b, plan.nbz_out, plan.indices,
         g, p, plan.n, plan.bsz,
     )
 
@@ -311,10 +442,10 @@ def bsr_smsmm_pallas_prepare_ad(plan: BsrSmsmmPlan, nbz_a: int, nbz_b: int,
     return BsrPallasPlanAD(fwd=fwd, da=da, db=db)
 
 
-def _append_zero(blocks: jax.Array, dtype) -> jax.Array:
+def _append_zero(blocks: jax.Array, dtype, k: int = 1) -> jax.Array:
     bsz = blocks.shape[-1]
     return jnp.concatenate(
-        [blocks.astype(dtype), jnp.zeros((1, bsz, bsz), dtype)])
+        [blocks.astype(dtype), jnp.zeros((k, bsz, bsz), dtype)])
 
 
 def _run_slabs(pplan: BsrPallasPlan, z1: jax.Array, z2: jax.Array,
@@ -326,16 +457,17 @@ def _run_slabs(pplan: BsrPallasPlan, z1: jax.Array, z2: jax.Array,
         pplan.a_idx, pplan.b_idx, pplan.oloc, pplan.first, pplan.slab,
         z1, z2, chunks=pplan.chunks, bsz=pplan.bsz, g=pplan.g, p=pplan.p,
         nbz_out=pplan.nbz_out, out_dtype=out_dtype, precision=precision,
-        interpret=interpret,
+        interpret=interpret, paired=pplan.paired,
     )
 
 
 @partial(jax.jit, static_argnames=("chunks", "bsz", "g", "p", "nbz_out",
-                                   "out_dtype", "precision", "interpret"))
+                                   "out_dtype", "precision", "interpret",
+                                   "paired"))
 def run_slabs_arrays(p_a_idx, p_b_idx, p_oloc, p_first, p_slab,
                      z1: jax.Array, z2: jax.Array, *, chunks, bsz: int,
                      g: int, p: int, nbz_out: int, out_dtype, precision,
-                     interpret: bool) -> jax.Array:
+                     interpret: bool, paired: bool = False) -> jax.Array:
     """Raw-array slab-kernel core: :func:`_run_slabs` operating directly on
     the schedule arrays.  Split out so the SAME DMA-gathered kernel runs
     inside ``shard_map`` bodies — parallel/pbsr.py stacks per-shard
@@ -349,10 +481,12 @@ def run_slabs_arrays(p_a_idx, p_b_idx, p_oloc, p_first, p_slab,
     copies of the factor storage — measured 18 GB of HBM (4x lane padding
     at bsz=32, 48 copies) on the 181k-product fixture, an instant OOM."""
 
+    na = g // 2 if paired else g  # A-stream ref count
+
     def kernel(a_idx, b_idx, oloc, first, slab, *refs):
-        arefs = refs[:g]
-        brefs = refs[g:2 * g]
-        o_ref = refs[2 * g]
+        arefs = refs[:na]
+        brefs = refs[na:na + g]
+        o_ref = refs[na + g]
         t = pl.program_id(0)
 
         @pl.when(first[t] == 1)
@@ -362,7 +496,16 @@ def run_slabs_arrays(p_a_idx, p_b_idx, p_oloc, p_first, p_slab,
         # one batched MXU einsum for the step's G products (XLA's batched
         # matmul sustains 1.2 TFLOP/s on (F,32,32) operands — G tiny
         # sequential dots measured ~4x slower)
-        ga = jnp.stack([arefs[i][0] for i in range(g)])
+        if paired:
+            # each (2, bsz, bsz) fetch feeds two products of its window;
+            # the packed row bit selects which half each product reads
+            ga = jnp.stack([
+                jnp.where((oloc[t * g + i] & 1) == 1,
+                          arefs[i // 2][1], arefs[i // 2][0])
+                for i in range(g)
+            ])
+        else:
+            ga = jnp.stack([arefs[i][0] for i in range(g)])
         gb = jnp.stack([brefs[i][0] for i in range(g)])
         prods = jax.lax.dot_general(
             ga, gb,
@@ -370,8 +513,9 @@ def run_slabs_arrays(p_a_idx, p_b_idx, p_oloc, p_first, p_slab,
             preferred_element_type=o_ref.dtype,
             precision=precision,
         )
+        shift = 1 if paired else 0
         for i in range(g):
-            o_ref[pl.ds(oloc[t * g + i], 1)] += prods[i][None]
+            o_ref[pl.ds(oloc[t * g + i] >> shift, 1)] += prods[i][None]
 
     if nbz_out == 0:
         return jnp.zeros((0, bsz, bsz), out_dtype)
@@ -381,11 +525,23 @@ def run_slabs_arrays(p_a_idx, p_b_idx, p_oloc, p_first, p_slab,
         ns = s1 - s0
         nsl = sl1 - sl0
 
-        def aspec(i):
-            return pl.BlockSpec(
-                (1, bsz, bsz),
-                lambda t, ai, bi, ol, fr, sl, i=i: (ai[t * g + i], _Z, _Z),
-            )
+        if paired:
+            def aspec(i):
+                # (2, bsz, bsz) block over the A stream: a_idx holds the
+                # even-aligned WINDOW index (block units) — one DMA fetches
+                # both slots of the window
+                return pl.BlockSpec(
+                    (2, bsz, bsz),
+                    lambda t, ai, bi, ol, fr, sl, i=i: (
+                        ai[t * na + i], _Z, _Z),
+                )
+        else:
+            def aspec(i):
+                return pl.BlockSpec(
+                    (1, bsz, bsz),
+                    lambda t, ai, bi, ol, fr, sl, i=i: (
+                        ai[t * g + i], _Z, _Z),
+                )
 
         def bspec(i):
             return pl.BlockSpec(
@@ -396,7 +552,7 @@ def run_slabs_arrays(p_a_idx, p_b_idx, p_oloc, p_first, p_slab,
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(ns,),
-            in_specs=[aspec(i) for i in range(g)]
+            in_specs=[aspec(i) for i in range(na)]
             + [bspec(i) for i in range(g)],
             out_specs=pl.BlockSpec(
                 (p, bsz, bsz),
@@ -415,12 +571,12 @@ def run_slabs_arrays(p_a_idx, p_b_idx, p_oloc, p_first, p_slab,
             ),
             interpret=interpret,
         )(
-            jax.lax.dynamic_slice(p_a_idx, (s0 * g,), (ns * g,)),
+            jax.lax.dynamic_slice(p_a_idx, (s0 * na,), (ns * na,)),
             jax.lax.dynamic_slice(p_b_idx, (s0 * g,), (ns * g,)),
             jax.lax.dynamic_slice(p_oloc, (s0 * g,), (ns * g,)),
             jax.lax.dynamic_slice(p_first, (s0,), (ns,)),
             jax.lax.dynamic_slice(p_slab, (s0,), (ns,)),
-            *([z1] * g),
+            *([z1] * na),
             *([z2] * g),
         )
         pieces.append(out)
@@ -443,9 +599,10 @@ def bsr_smsmm_apply_pallas(pplan: BsrPallasPlan, a: BSR, b: BSR, *,
     differentiable — use :func:`bsr_smsmm_apply_pallas_ad` for autodiff."""
     out_dtype = jnp.result_type(a.dtype, b.dtype)
     precision = _resolve_precision(precision, out_dtype)
+    ka = 2 + (a.blocks.shape[0] & 1) if pplan.paired else 1
     blocks = _run_slabs(
         pplan,
-        _append_zero(a.blocks, out_dtype),
+        _append_zero(a.blocks, out_dtype, ka),
         _append_zero(b.blocks, out_dtype),
         out_dtype, precision, interpret,
     )

@@ -266,3 +266,34 @@ def test_bf16_inputs_f32_accum():
             np.asarray(path.blocks, np.float32) - np.asarray(oracle.blocks)
         ))) / scale
         assert err < 2e-2, err  # single bf16 rounding + segment-sum
+
+
+@pytest.mark.parametrize("nb,density,seed", [(12, 0.3, 0), (9, 0.5, 1)])
+def test_paired_schedule_matches_unpaired(nb, density, seed):
+    """The descriptor-coalesced (paired) schedule — round-5 probe of the
+    round-4 verdict's ~25%-fewer-descriptors lever — produces the XLA
+    apply's values exactly, for even and odd stored-block counts (the
+    zero pair must land even-aligned).  Chip verdict: the kernel is
+    STEP-bound, not descriptor-bound (34.8 vs 35.0 ms at g=24; +2% at
+    g=48 — within tunnel noise), so paired stays opt-in."""
+    bsz = 8
+    rng = np.random.default_rng(seed)
+    rr, cc = np.nonzero(rng.random((nb, nb)) < density)
+    a = BSR(indices=jnp.asarray(rr * nb + cc, INDEX_DTYPE),
+            blocks=jnp.asarray(
+                rng.standard_normal((rr.size, bsz, bsz)).astype(np.float32)),
+            n=nb * bsz, bsz=bsz)
+    rr2, cc2 = np.nonzero(rng.random((nb, nb)) < density)
+    b = BSR(indices=jnp.asarray(rr2 * nb + cc2, INDEX_DTYPE),
+            blocks=jnp.asarray(
+                rng.standard_normal((rr2.size, bsz, bsz)).astype(np.float32)),
+            n=nb * bsz, bsz=bsz)
+    plan = bsr_smsmm_prepare(a, b)
+    ref = bsr_smsmm_apply(plan, a, b)
+    pp = bsr_smsmm_pallas_prepare(plan, a.nbz, b.nbz, paired=True)
+    assert pp.paired and pp.a_idx.shape[0] * 2 == pp.b_idx.shape[0]
+    out = bsr_smsmm_apply_pallas(pp, a, b, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(bsr_todense(out)), np.asarray(bsr_todense(ref)),
+        rtol=1e-4, atol=1e-5,
+    )
