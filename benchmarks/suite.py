@@ -1018,6 +1018,96 @@ def bench_weak_scaling(quick):
         d *= 2
 
 
+def bench_route_boundary(quick):
+    """The SpGEMM dispatch boundary, measured (round-5 verdict item): a
+    matrix with DETECTABLE 32-block clusters at ~0.6 internal fill.  The
+    dispatcher must decline the block route — full fill is the
+    precondition for exact reference stored-structure semantics
+    (compressed.fut:268-331: every stored C position is a realized
+    product) — and the row quantifies what the decline costs: the forced
+    block path runs orders faster but stores explicit zeros the reference
+    contract says don't exist.  Correctness beats rate at the boundary;
+    the block path remains one `csr_to_bsr` away for callers who accept
+    padded-block semantics.  TPU only."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return
+    from sparse_tpu import CSR
+    from sparse_tpu.ops.spgemm import _spgemm_route
+    from sparse_tpu.utils.stats import csr_block_fill
+
+    # sized so the scalar ESC pass stays feasible (~7M scalar products —
+    # at 0.6 fill the scalar product count grows with nnz^2/n, which is
+    # itself part of the boundary story)
+    bsz, nbk = 32, 96
+    rng = np.random.default_rng(31)
+    br, bc = np.nonzero(rng.random((nbk, nbk)) < 0.016)
+    keep_diag = np.unique(np.concatenate([br * nbk + bc,
+                                          np.arange(nbk) * (nbk + 1)]))
+    br, bc = keep_diag // nbk, keep_diag % nbk
+    n = nbk * bsz
+    # ~60% internal fill: blocks are clusters, not dense
+    sub = rng.random((br.size, bsz, bsz)) < 0.6
+    rows = (br[:, None, None] * bsz
+            + np.arange(bsz)[None, :, None]) * np.ones(
+        (1, 1, bsz), np.int64)
+    cols = (bc[:, None, None] * bsz
+            + np.arange(bsz)[None, None, :]) * np.ones(
+        (1, bsz, 1), np.int64)
+    r = rows[sub].astype(np.int64)
+    c = cols[sub].astype(np.int64)
+    order = np.lexsort((c, r))
+    r, c = r[order], c[order]
+    vals = (rng.standard_normal(r.size) * 0.01).astype(np.float32)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(r, minlength=n), out=indptr[1:])
+    a = CSR(data=jnp.asarray(vals), indices=jnp.asarray(c.astype(np.int32)),
+            indptr=jnp.asarray(indptr.astype(np.int64)), shape=(n, n))
+    fill = csr_block_fill(a, bsz)
+    route, _ = _spgemm_route(a, a, mxu_budget=10)
+    emit("route_boundary_block_fill", fill, "ratio", 1.0 if route == "esc"
+         else 0.0)
+    assert route == "esc", route
+
+    # the chosen path: prepared scalar apply (exact reference structure)
+    from sparse_tpu.ops.spgemm import spgemm_apply, spgemm_prepare
+
+    splan = spgemm_prepare(a, a)
+
+    def sstep(data, plan, a):
+        a2 = CSR(data=data, indices=a.indices, indptr=a.indptr,
+                 shape=a.shape)
+        return data * (1.0 + 1e-30 * jnp.sum(spgemm_apply(plan, a2, a2).data))
+
+    t = timed_chain(sstep, a.data, splan, a)
+    emit("route_boundary_scalar_gflops", 2 * splan.n_products / t / 1e9,
+         "GFLOP/s")
+
+    # the declined path, forced: faster, but its stored structure departs
+    # from the reference contract (explicit zeros inside padded blocks)
+    from sparse_tpu.formats.bsr import BSR, bsr_smsmm_prepare, csr_to_bsr
+    from sparse_tpu.ops.pallas_bsr import (
+        bsr_smsmm_apply_pallas,
+        bsr_smsmm_pallas_prepare,
+    )
+
+    ab = csr_to_bsr(a, bsz)
+    bplan = bsr_smsmm_prepare(ab, ab)
+    pp = bsr_smsmm_pallas_prepare(bplan, ab.nbz, ab.nbz)
+    flops = 2 * bplan.n_products * bsz ** 3
+
+    def bstep(blocks, pp, ab):
+        m = BSR(indices=ab.indices, blocks=blocks, n=ab.n, bsz=ab.bsz)
+        return blocks * (
+            1.0 + 1e-30 * jnp.sum(bsr_smsmm_apply_pallas(pp, m, m).blocks))
+
+    t = timed_chain(bstep, ab.blocks, pp, ab)
+    emit("route_boundary_forced_block_gflops", flops / t / 1e9, "GFLOP/s",
+         1.0 / max(fill, 1e-9))  # vs_baseline = storage blow-up factor
+
+
 def bench_solvers(quick):
     """Solver-stack on-chip rates (the C8 critical path,
     blocked_square_regular.fut:414-464 lup_nofill, :556-599 for/backsolve,
@@ -1194,7 +1284,8 @@ if __name__ == "__main__":
     for section in (bench_csr, bench_csr_segtile, bench_reorder,
                     bench_real_matrices, bench_bell, bench_bell_accuracy,
                     bench_spgemm, bench_spgemm_prepared, bench_bsr_spgemm,
-                    bench_solvers, bench_distributed, bench_weak_scaling):
+                    bench_route_boundary, bench_solvers, bench_distributed,
+                    bench_weak_scaling):
         if only and not any(o in section.__name__ for o in only):
             continue
         try:
