@@ -34,7 +34,8 @@ _wp_dataclass = _wp_dc.dataclass
 __all__ = ["bell_spmm_pallas", "bell_spmm_pallas_fused",
            "build_banded_plan", "BandedPlan", "bell_spmm_pallas_banded",
            "banded_spmm_hbm_bytes", "BandedKitT", "bell_banded_prepare_t",
-           "bell_spmm_pallas_banded_t", "banded_spmm_t_hbm_bytes"]
+           "bell_spmm_pallas_banded_t", "banded_spmm_t_hbm_bytes",
+           "bell_banded_refresh"]
 
 
 def _make_kernel(prec):
@@ -793,6 +794,15 @@ def bell_spmm_pallas_banded_t(a: BELL, bt: jax.Array, kit: "BandedKitT", *,
     # a padded operand gets the padded output back (chain idiom); an
     # unpadded one gets (k, n)
     return out if padded_in else out[:, : a.n]
+
+
+def bell_banded_refresh(kit: "BandedKit", a: BELL) -> "BandedKit":
+    """Re-densify a banded kit's tiles from NEW block values of the SAME
+    pattern (one jitted device gather; the host plan is reused) — the
+    value-update companion of :func:`bell_banded_prepare`."""
+    dt = kit.tiles.dtype
+    tiles = jax.jit(_densify_band_tiles, static_argnums=(2,))(a, kit.plan, dt)
+    return BandedKit(plan=kit.plan, tiles=tiles)
 
 
 def bell_banded_prepare(a: BELL, row_tile: int | None = None,

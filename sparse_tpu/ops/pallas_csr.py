@@ -52,6 +52,7 @@ __all__ = [
     "SegTilePlan",
     "build_seg_tiles",
     "csr_smvm_segtile",
+    "seg_tiles_refresh",
     "segtile_apply",
     "csr_smvm_auto",
     "segtile_hbm_bytes",
@@ -86,7 +87,7 @@ def _k_step(rows: int, n_real: int = 1 << 30) -> int:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["vals", "q", "seg_of", "rb"],
+    data_fields=["vals", "q", "seg_of", "rb", "pos", "eidx"],
     meta_fields=["n", "m", "n_tiles", "fill", "chunks", "wsub", "rows",
                  "kstep"],
 )
@@ -116,10 +117,16 @@ class SegTilePlan:
     wsub: int = 8
     rows: int = 8
     kstep: int = 64  # tiles per grid step (baked into chunks/padding)
+    # retained by build_seg_tiles(refreshable=True): sorted slot positions
+    # + source entry ids, so seg_tiles_refresh re-binds VALUES in one
+    # device gather instead of re-running the host layout pass
+    pos: jax.Array | None = None
+    eidx: jax.Array | None = None
 
 
 def build_seg_tiles(a: CSR, wsub: int = 8, rows: int = 8,
-                    layout: str = "ff") -> SegTilePlan:
+                    layout: str = "ff",
+                    refreshable: bool = False) -> SegTilePlan:
     """Host-side tiling of a CSR matrix (eager, once per pattern+values).
 
     Entries of each ``rows``-row block are bucketed by ``wsub*128``-column
@@ -201,7 +208,8 @@ def build_seg_tiles(a: CSR, wsub: int = 8, rows: int = 8,
             res = seg_tile_layout_ff_py(indptr, cols, wsub, rows=R)
         pos_src, sub_src, t_base, t_rb = res
         return _finish_plan(a, n, m, nnz, wsub, R, pos_src, sub_src, None,
-                            t_base, t_rb, t_base.size, full_sort=True)
+                            t_base, t_rb, t_base.size, full_sort=True,
+                            refreshable=refreshable)
 
     # fast path: the whole bucketing sweep in native code (one O(nnz) pass;
     # bit-identical tile numbering, pinned by tests).  This host's NumPy
@@ -213,7 +221,7 @@ def build_seg_tiles(a: CSR, wsub: int = 8, rows: int = 8,
         pos_src, sub_src, t_base, t_rb = native
         n_real = t_base.size
         return _finish_plan(a, n, m, nnz, wsub, R, pos_src, sub_src, None,
-                            t_base, t_rb, n_real)
+                            t_base, t_rb, n_real, refreshable=refreshable)
 
     row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
     rsh = R.bit_length() - 1  # log2(R)
@@ -291,7 +299,7 @@ def build_seg_tiles(a: CSR, wsub: int = 8, rows: int = 8,
 
     pos_src = tile_of * (R * _LANES) + ri * _LANES + lane_o
     return _finish_plan(a, n, m, nnz, wsub, R, pos_src, sub_o, order,
-                        t_base, t_rb, n_real)
+                        t_base, t_rb, n_real, refreshable=refreshable)
 
 
 @partial(jax.jit, static_argnums=2)
@@ -316,7 +324,8 @@ def _fill_gather(pos, src, data, size):
 
 
 def _finish_plan(a, n, m, nnz, wsub, R, pos_src, sub_src, src_index,
-                 t_base, t_rb, n_real, full_sort: bool = False) -> SegTilePlan:
+                 t_base, t_rb, n_real, full_sort: bool = False,
+                 refreshable: bool = False) -> SegTilePlan:
     """Shared plan tail: tile padding, SMEM chunking, and the device-side
     fill of the padded slot arrays.
 
@@ -392,7 +401,26 @@ def _finish_plan(a, n, m, nnz, wsub, R, pos_src, sub_src, src_index,
         wsub=wsub,
         rows=R,
         kstep=kstep,
+        pos=pos if refreshable else None,
+        eidx=eidx if refreshable else None,
     )
+
+
+def seg_tiles_refresh(plan: SegTilePlan, data: jax.Array) -> SegTilePlan:
+    """Re-bind a plan to NEW values of the SAME pattern in one device
+    gather (the pattern-static layout is reused; milliseconds vs the
+    tens-of-seconds host rebuild — the Newton/time-stepping idiom, same
+    contract as every *_apply).  Requires ``build_seg_tiles(...,
+    refreshable=True)``; ``data`` is the updated CSR ``.data`` array.
+    jit-compatible given the plan."""
+    if plan.pos is None:
+        raise ValueError(
+            "seg_tiles_refresh: plan was not built with refreshable=True")
+    slots = plan.rows * _LANES
+    tvals = _fill_gather(
+        plan.pos, plan.eidx, jnp.asarray(data), plan.n_tiles * slots
+    ).reshape(plan.n_tiles, plan.rows, _LANES)
+    return dataclasses.replace(plan, vals=tvals)
 
 
 def _take_sublane(src, idx):
@@ -434,7 +462,7 @@ def csr_smvm_segtile(a: CSR, v: jax.Array, plan: SegTilePlan,
                      interpret: bool = False) -> jax.Array:
     """SpMV via the segment-tile kernel; matches ``csr_smvm`` up to float
     summation order.  ``plan`` from :func:`build_seg_tiles` (value-bound:
-    rebuild after updating ``a.data``).
+    refresh via :func:`seg_tiles_refresh` after updating ``a.data``).
 
     ``reduce``: how per-tile products become row sums.
     ``"vpu"`` (default, production): the per-vreg ``jnp.sum`` lane reduce —

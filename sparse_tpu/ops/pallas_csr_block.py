@@ -45,6 +45,7 @@ from .segmented import IDXMAP_ZERO as _Z
 __all__ = [
     "BlockSegTilePlan",
     "build_seg_tiles_block",
+    "block_seg_tiles_refresh",
     "bsr_smvm_segtile_block",
     "block_segtile_hbm_bytes",
     "block_segtile_issue_seconds",
@@ -59,7 +60,7 @@ _BLOCK_VREG_FACTOR = {2: 1.88}
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["vals", "q", "seg_of", "rb"],
+    data_fields=["vals", "q", "seg_of", "rb", "pos", "eidx"],
     meta_fields=["n", "nb", "bsz", "n_tiles", "fill", "chunks", "wsub",
                  "kstep"],
 )
@@ -85,9 +86,14 @@ class BlockSegTilePlan:
     chunks: tuple
     wsub: int
     kstep: int
+    # retained by build_seg_tiles_block(refreshable=True): see
+    # block_seg_tiles_refresh
+    pos: jax.Array | None = None
+    eidx: jax.Array | None = None
 
 
-def build_seg_tiles_block(ab: BSR, wsub: int = 8) -> BlockSegTilePlan:
+def build_seg_tiles_block(ab: BSR, wsub: int = 8,
+                          refreshable: bool = False) -> BlockSegTilePlan:
     """Host-side block-granule tiling of a BSR matrix (eager, once per
     pattern + values; value-bound like :class:`~.pallas_csr.SegTilePlan`).
 
@@ -168,6 +174,8 @@ def build_seg_tiles_block(ab: BSR, wsub: int = 8) -> BlockSegTilePlan:
             )
     vals = jnp.stack(planes, axis=1).reshape(n_tiles, bsz * bsz, R, _LANES)
     return BlockSegTilePlan(
+        pos=pos if refreshable else None,
+        eidx=entry if refreshable else None,
         vals=vals,
         q=q,
         seg_of=jnp.asarray(seg_of),
@@ -193,6 +201,29 @@ def _fill_gather_plane(pos, src, plane, size):
         .set(plane[src], unique_indices=True, indices_are_sorted=True)
         .reshape(size // (8 * _LANES), 8, _LANES)
     )
+
+
+def block_seg_tiles_refresh(plan: BlockSegTilePlan,
+                            blocks: jax.Array) -> BlockSegTilePlan:
+    """Re-bind a block-granule plan to NEW block values of the SAME
+    pattern (bsz^2 device gathers; the host layout pass is reused).
+    Requires ``build_seg_tiles_block(..., refreshable=True)``; ``blocks``
+    is the updated BSR ``.blocks`` array.  jit-compatible given the
+    plan."""
+    if plan.pos is None:
+        raise ValueError(
+            "block_seg_tiles_refresh: plan was not built with "
+            "refreshable=True")
+    bsz = plan.bsz
+    planes = []
+    for i in range(bsz):
+        for j in range(bsz):
+            planes.append(_fill_gather_plane(
+                plan.pos, plan.eidx, blocks[:, i, j],
+                plan.n_tiles * 8 * _LANES))
+    vals = jnp.stack(planes, axis=1).reshape(
+        plan.n_tiles, bsz * bsz, 8, _LANES)
+    return dataclasses.replace(plan, vals=vals)
 
 
 def bsr_smvm_segtile_block(ab: BSR, v: jax.Array, plan: BlockSegTilePlan,

@@ -295,3 +295,22 @@ def test_bell_spmm_dispatches_banded_t_kit():
         out = fb.bell_spmm(a, jnp.asarray(b), prefer_pallas=True, plan=kit)
     assert spy.called
     np.testing.assert_allclose(np.asarray(out), x @ b, rtol=2e-4, atol=2e-4)
+
+
+def test_bell_banded_refresh_matches_rebuild():
+    """Kit value refresh (one device densify) equals a full re-prepare."""
+    from sparse_tpu.formats.bell import BELL
+    from sparse_tpu.ops.pallas_bell import (
+        bell_banded_prepare,
+        bell_banded_refresh,
+    )
+
+    a, _ = banded_bell(20, 8, 1, seed=3)
+    kit = bell_banded_prepare(a)
+    if kit is None:
+        pytest.skip("pattern not banded on this fixture")
+    a2 = BELL(cols=a.cols, blocks=a.blocks * 2.0, n=a.n, bsz=a.bsz)
+    kit2 = bell_banded_refresh(kit, a2)
+    ref = bell_banded_prepare(a2)
+    np.testing.assert_array_equal(np.asarray(kit2.tiles),
+                                  np.asarray(ref.tiles))

@@ -337,3 +337,36 @@ def test_hub_split_matches_oracle():
     np.testing.assert_allclose(np.asarray(y), s @ v, rtol=2e-4, atol=2e-4)
     with pytest.raises(ValueError, match="shape"):
         hub_split_smvm(split, jnp.zeros(5))
+
+
+def test_seg_tiles_refresh_matches_rebuild():
+    """Value refresh (one device gather) equals a full plan rebuild."""
+    from sparse_tpu.ops.pallas_csr import (
+        build_seg_tiles,
+        csr_smvm_segtile,
+        seg_tiles_refresh,
+    )
+
+    from sparse_tpu import csr_from_dense
+
+    rng = np.random.default_rng(0)
+    n = 96
+    x = np.zeros((n, n), np.float32)
+    for i in range(n):
+        js = np.clip(i + rng.integers(-6, 7, size=4), 0, n - 1)
+        x[i, js] = rng.standard_normal(js.size)
+    a = csr_from_dense(jnp.asarray(x))
+    plan = build_seg_tiles(a, refreshable=True)
+    new_data = a.data * 3.25
+    a2 = CSR(data=new_data, indices=a.indices, indptr=a.indptr,
+             shape=a.shape)
+    plan2 = seg_tiles_refresh(plan, new_data)
+    ref = build_seg_tiles(a2)
+    np.testing.assert_array_equal(np.asarray(plan2.vals), np.asarray(ref.vals))
+    v = rng.standard_normal(n).astype(np.float32)
+    y = csr_smvm_segtile(a2, jnp.asarray(v), plan2, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), (x * 3.25) @ v, rtol=2e-5,
+                               atol=2e-5)
+    # non-refreshable plans refuse loudly
+    with pytest.raises(ValueError, match="refreshable"):
+        seg_tiles_refresh(build_seg_tiles(a), new_data)

@@ -103,3 +103,26 @@ def test_block_segtile_rejects_wide_bsz():
         ab2 = csr_to_bsr(st.csr_from_dense(jnp.asarray(x[:, :64] * 0 + 1)), 2)
         plan2 = build_seg_tiles_block(ab2)
         bsr_smvm_segtile_block(ab2, jnp.zeros(3), plan2, interpret=True)
+
+
+def test_block_seg_tiles_refresh_matches_rebuild():
+    from sparse_tpu.formats.bsr import BSR
+    from sparse_tpu.ops.pallas_csr_block import block_seg_tiles_refresh
+
+    x = _block_matrix(32, 2, seed=6, scramble=False)
+    a = st.csr_from_dense(jnp.asarray(x))
+    ab = csr_to_bsr(a, 2)
+    plan = build_seg_tiles_block(ab, refreshable=True)
+    nb2 = ab.blocks * 0.5
+    plan2 = block_seg_tiles_refresh(plan, nb2)
+    ref = build_seg_tiles_block(
+        BSR(indices=ab.indices, blocks=nb2, n=ab.n, bsz=2))
+    np.testing.assert_array_equal(np.asarray(plan2.vals),
+                                  np.asarray(ref.vals))
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(64).astype(np.float32)
+    y = bsr_smvm_segtile_block(
+        BSR(indices=ab.indices, blocks=nb2, n=ab.n, bsz=2),
+        jnp.asarray(v), plan2, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), (x * 0.5) @ v, rtol=2e-5,
+                               atol=2e-5)
