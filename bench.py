@@ -212,7 +212,11 @@ def main():
     # nnz/s roofline model (utils/stats.nnz_roofline): intrinsic min bytes
     # (blocks + each operand entry once + output) -> pattern ceiling;
     # structural_frac = intrinsic/plan traffic — the densified-tile overhead
-    from sparse_tpu.utils.stats import blocked_min_bytes, nnz_roofline
+    from sparse_tpu.utils.stats import (
+        HBM_CEILING_GBPS,
+        blocked_min_bytes,
+        nnz_roofline,
+    )
 
     rl = nnz_roofline(
         nnz, k=K, min_bytes=blocked_min_bytes(nbz, BSZ, n, K),
@@ -226,7 +230,7 @@ def main():
                 "unit": "GB/s",
                 "vs_baseline": round(t_ref / t_tpu, 2),
                 "model_gbps": round(model_bytes / t_tpu / 1e9, 2),
-                "roofline_frac": round(gbps / 207.0, 3),
+                "roofline_frac": round(gbps / HBM_CEILING_GBPS, 3),
                 "frac_of_nnz_roofline": round(rl["frac_of_nnz_roofline"], 3),
                 "structural_frac": round(rl["structural_frac"], 3),
                 "gflops": round(2 * nnz * K / t_tpu / 1e9, 1),

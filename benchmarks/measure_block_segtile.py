@@ -132,10 +132,10 @@ def main():
         # both ends as block-granule GATHERS (the inverse-permutation
         # gather measured 7.71 ms vs 9.49 for scatter-unpermute; a bitcast
         # i64 variant measured 12.83 and was dropped)
-        pbj = jnp.asarray((perm // 2)[::2])  # block permutation
-        inv = np.empty(n // 2, np.int64)
-        inv[(perm // 2)[::2]] = np.arange(n // 2)
-        ibj = jnp.asarray(inv)
+        from sparse_tpu.ops.reorder import block_perm_pair
+
+        pbn, invn = block_perm_pair(perm, 2)
+        pbj, ibj = jnp.asarray(pbn), jnp.asarray(invn)
 
         def e2e_b(x, ab, bplan, pbj, ibj):
             xb = x.reshape(-1, 2)[pbj].reshape(-1)

@@ -24,7 +24,9 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 K_CHAIN = 5
-MEASURED_CEILING_GBPS = 207.0  # v5e chained 256 MB axpy (docs/performance.md)
+# the single source of truth for the measured streaming ceiling lives in
+# utils.stats (the roofline model bakes it into every emitted fraction)
+from sparse_tpu.utils.stats import HBM_CEILING_GBPS as MEASURED_CEILING_GBPS  # noqa: E402
 
 
 def timed_chain(step, v0, *operands, iters=3):
@@ -442,10 +444,10 @@ def bench_real_matrices(quick):
                  rl["frac_of_nnz_roofline"], "frac", rl["structural_frac"])
             # end-to-end: both permute ends as block-granule gathers (the
             # scatter-unpermute measured 9.49 vs 7.71 ms; docs round 5)
-            pbj = jnp.asarray((perm // 2)[::2])
-            inv = np.empty(n // 2, np.int64)
-            inv[(perm // 2)[::2]] = np.arange(n // 2)
-            ibj = jnp.asarray(inv)
+            from sparse_tpu.ops.reorder import block_perm_pair
+
+            pbn, invn = block_perm_pair(perm, 2)
+            pbj, ibj = jnp.asarray(pbn), jnp.asarray(invn)
 
             def e2e(x, ab, p, pbj, ibj):
                 xb = x.reshape(-1, 2)[pbj].reshape(-1)
@@ -1216,7 +1218,7 @@ def bench_solvers(quick):
     # the iteration count so every variant's program stays under the limit
     # (ms/iter is the metric; residuals are comparable at equal iters)
     iters = 40 if quick else 15
-    an = np.asarray(bsr_to_csr(a_bsr).data)  # noqa: F841  (warm transfer)
+    an = np.asarray(a_csr.data)  # noqa: F841  (warm the host transfer)
 
     def resid(x):
         from sparse_tpu.formats.csr import csr_smvm

@@ -125,8 +125,10 @@ def smvm_prepare(a: CSR, *, reorder: bool = True,
     Host cost at 5-10M nnz is tens of seconds (RCM + tile sweep; the
     documented prepare-cost table); this is the amortize-over-many-solves
     entry point, not a one-shot convenience.  ``prefer`` pins a ladder
-    rung by name (capability gates still apply) — an override/testing
-    hook; off-TPU backends run any Pallas path in interpret mode."""
+    rung by name, overriding its structure HEURISTIC but not its
+    capability/correctness requirements (squareness, index ranges,
+    residency caps) — an override/testing hook; off-TPU backends run any
+    Pallas path in interpret mode."""
     from ..utils.stats import csr_block_fill, detect_block_size
     from .pallas_csr import _MAX_RESIDENT, _MIN_FILL, build_seg_tiles
     from .reorder import csr_bandwidth
@@ -136,55 +138,61 @@ def smvm_prepare(a: CSR, *, reorder: bool = True,
 
     on_tpu = jax.default_backend() == "tpu"
 
-    def want(kind, gate):
+    def want(kind, cap, struct_fn):
+        """``cap``: correctness/capability requirements (always apply);
+        ``struct_fn``: the structure heuristic (lazy — overridden by
+        ``prefer``, and never evaluated for non-preferred rungs)."""
         if prefer is not None:
-            return prefer == kind
-        return gate
+            return prefer == kind and cap
+        return cap and struct_fn()
 
     # 1. block-granule path
-    if want("blockseg", on_tpu and n == m and n % 2 == 0 and n >= 1024
-            and csr_block_fill(a, 2) == 1.0):
-        from ..formats.bsr import BSR_MAX_NB, csr_to_bsr
+    cap1 = n == m and n % 2 == 0
+    if cap1:
+        from ..formats.bsr import BSR_MAX_NB
+
+        cap1 = n // 2 <= BSR_MAX_NB or jax.config.jax_enable_x64
+    if want("blockseg", cap1,
+            lambda: on_tpu and n >= 1024 and csr_block_fill(a, 2) == 1.0):
+        from ..formats.bsr import csr_to_bsr
         from .pallas_csr_block import build_seg_tiles_block
-        from .reorder import csr_permute, rcm_order_blocked
+        from .reorder import block_perm_pair, csr_permute, rcm_order_blocked
 
-        if n // 2 <= BSR_MAX_NB or jax.config.jax_enable_x64:
-            try:
-                if reorder:
-                    perm = rcm_order_blocked(a, 2)
-                    ap = csr_permute(a, perm, perm)
-                else:
-                    perm, ap = None, a
-                ab = csr_to_bsr(ap, 2)
-                plan = build_seg_tiles_block(ab, wsub=16)
-                if plan.fill * 4 >= _MIN_FILL:
-                    log(f"block-granule tiles (fill {plan.fill:.3f})")
-                    pb = None if perm is None else \
-                        jnp.asarray((perm // 2)[::2])
-                    inv = None
-                    if perm is not None:
-                        iv = np.empty(n // 2, np.int64)
-                        iv[(perm // 2)[::2]] = np.arange(n // 2)
-                        inv = jnp.asarray(iv)
-                    return SmvmAutoPlan(
-                        state=(ab, plan), perm=pb, inv_perm=inv,
-                        kind="blockseg", shape=(n, m),
-                    )
-            except ValueError:
-                pass  # tile overflow etc. — fall through the ladder
+        try:
+            if reorder:
+                perm = rcm_order_blocked(a, 2)
+                ap = csr_permute(a, perm, perm)
+            else:
+                perm, ap = None, a
+            ab = csr_to_bsr(ap, 2)
+            plan = build_seg_tiles_block(ab, wsub=16)
+            if plan.fill * 4 >= _MIN_FILL:
+                log(f"block-granule tiles (fill {plan.fill:.3f})")
+                pb = inv = None
+                if perm is not None:
+                    pbn, invn = block_perm_pair(perm, 2)
+                    pb, inv = jnp.asarray(pbn), jnp.asarray(invn)
+                return SmvmAutoPlan(
+                    state=(ab, plan), perm=pb, inv_perm=inv,
+                    kind="blockseg", shape=(n, m),
+                )
+        except ValueError:
+            pass  # tile overflow etc. — fall through the ladder
 
-    # 2. scalar segment tiles (with RCM when it helps)
-    if want("segtile", on_tpu) and n + m <= _MAX_RESIDENT:
+    # 2. scalar segment tiles (with RCM only when the bandwidth needs it)
+    if want("segtile", n + m <= _MAX_RESIDENT, lambda: on_tpu):
         perm, ap = None, a
         if reorder and n == m:
             from .reorder import reorder_for_locality
 
             bw0 = csr_bandwidth(a)
-            ap2, perm2 = reorder_for_locality(a)
-            if csr_bandwidth(ap2) < bw0 / 2:
-                perm, ap = perm2, ap2
-            else:
-                ap = a
+            # a bandwidth within a few operand windows already tiles
+            # densely — skip the RCM pass (comparable in cost to the plan
+            # build itself) for well-ordered inputs
+            if bw0 > 16 * 128:
+                ap2, perm2 = reorder_for_locality(a)
+                if csr_bandwidth(ap2) < bw0 / 2:
+                    perm, ap = perm2, ap2
         try:
             plan = build_seg_tiles(ap, wsub="auto")
         except ValueError:
@@ -198,7 +206,7 @@ def smvm_prepare(a: CSR, *, reorder: bool = True,
                                 kind="segtile", shape=(n, m))
 
     # 3. BELL block storage (bsz >= 8, no column locality needed)
-    if want("bell", n == m) and n == m:
+    if want("bell", n == m, lambda: True):
         bsz, _ = detect_block_size(a, candidates=(32, 16, 8))
         if bsz >= 8:
             from ..formats.bell import bell_from_csr
@@ -207,12 +215,25 @@ def smvm_prepare(a: CSR, *, reorder: bool = True,
             return SmvmAutoPlan(state=(bell_from_csr(a, bsz),), perm=None,
                                 inv_perm=None, kind="bell", shape=(n, m))
 
-    # 4. hub/tail split for heavy-tailed degree distributions
-    if want("hubsplit", on_tpu and n >= 4096):
+    # 4. hub/tail split for heavy-tailed degree distributions.  The mass
+    # check is a pure degree-histogram computation — the full split (two
+    # CSR extractions + two plans) is built only when the strip qualifies
+    def _hub_mass():
+        if not (on_tpu and n >= 4096):
+            return False
+        k = int(np.asarray(a.indptr)[-1])
+        if k == 0:
+            return False
+        deg = np.bincount(np.asarray(a.indices[:k], np.int64), minlength=m)
+        H = min(32 * 128 * 4, m)
+        top = np.partition(deg, m - H)[m - H:].sum() if H < m else k
+        return top / k >= 0.08
+
+    if want("hubsplit", True, _hub_mass):
         from .hub_split import hub_split_prepare
 
         split = hub_split_prepare(a)
-        if split.hub_fraction >= 0.08:
+        if split.hub_fraction >= 0.08 or prefer == "hubsplit":
             log(f"hub/tail split (hub fraction {split.hub_fraction:.3f})")
             return SmvmAutoPlan(state=(split,), perm=None, inv_perm=None,
                                 kind="hubsplit", shape=(n, m))
