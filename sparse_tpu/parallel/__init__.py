@@ -36,6 +36,11 @@ from .pbell import (  # noqa: F401
     pbell_smvm,
     pbell_spmm,
 )
+from .phub import (  # noqa: F401
+    PHubSplit,
+    phub_partition,
+    phub_spmv,
+)
 from .pbsr import (  # noqa: F401
     PBSR,
     PBsrPallasPlan,
