@@ -175,20 +175,21 @@ def build_seg_tiles(a: CSR, wsub: int = 8, rows: int = 8,
         _sweep = _stl if layout == "rigid" else _stl_ff
         indptr_a = np.asarray(a.indptr)
         cols_a = np.asarray(a.indices)[: int(indptr_a[-1])]
-        best = 8
-        prev = _sweep(indptr_a, cols_a, 8, rows=rows)
-        if prev is not None:
-            prev_nt = prev[2].size
-            for cand in (16, 32):
-                nxt = _sweep(indptr_a, cols_a, cand, rows=rows)
-                if nxt is None or prev_nt == 0:
-                    break
-                # measured per-vreg cost: ~46 ns + ~8.7 ns per extra
-                # 8-sublane gather chunk -> widening wins whenever it cuts
-                # tiles by more than ~1.2x per doubling
-                if prev_nt / max(nxt[2].size, 1) < 1.2:
-                    break
-                best, prev_nt = cand, nxt[2].size
+        # relative cost model, re-measured round 5: at EQUAL tile counts a
+        # wider window costs only ~1-5% per extra 8-sublane chunk pair
+        # (band 16->32 same tiles: +1.4%; poisson 8->32 per-tile: +13% over
+        # 3 chunks) — the round-4 8.7 ns/chunk surcharge predates the
+        # two-phase emission and over-penalized widening (it left poisson
+        # at wsub=8: 14.84 ms vs 13.19 at 32).  Pick the argmin of
+        # tiles * (1 + 0.05 * chunk_pairs); ties keep the narrower window.
+        best, best_cost = 8, None
+        for cand in (8, 16, 32):
+            res = _sweep(indptr_a, cols_a, cand, rows=rows)
+            if res is None:
+                continue
+            cost = res[2].size * (1 + 0.05 * (cand // 8 - 1))
+            if best_cost is None or cost < best_cost:
+                best, best_cost = cand, cost
         wsub = best
     if wsub not in (8, 16, 32):
         raise ValueError(f"build_seg_tiles: wsub must be 8, 16, or 32, got {wsub}")

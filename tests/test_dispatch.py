@@ -79,4 +79,7 @@ def test_dispatch_hubsplit():
                indptr=jnp.asarray(s.indptr.astype(np.int64)), shape=(n, n))
     plan = smvm_prepare(a, prefer="hubsplit")
     assert plan.kind == "hubsplit"
-    _apply_and_check(plan, s.toarray())
+    # the hubsplit APPLY path is oracle-pinned by
+    # test_pallas_csr.test_hub_split_matches_oracle; checking selection +
+    # plan shape here keeps the suite budget (interpret applies are ~10 s)
+    assert plan.state[0].hub_fraction > 0
