@@ -40,7 +40,7 @@ __all__ = ["SmvmAutoPlan", "smvm_prepare"]
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["state", "perm", "inv_perm"],
+    data_fields=["state", "perm", "inv_perm", "value_src"],
     meta_fields=["kind", "shape"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -50,13 +50,49 @@ class SmvmAutoPlan:
     ``kind``: one of ``"blockseg"``, ``"segtile"``, ``"bell"``,
     ``"hubsplit"``, ``"xla"``.  ``state`` is the path's own plan pytree;
     ``perm``/``inv_perm`` are the composed symmetric reorder (identity =
-    None).  ``apply`` matches ``csr_smvm`` up to float summation order."""
+    None); ``value_src`` maps original storage slots to the (reordered)
+    plan entry order when a reorder was composed (:meth:`refresh`).
+    ``apply`` matches ``csr_smvm`` up to float summation order."""
 
     state: tuple
     perm: jax.Array | None
     inv_perm: jax.Array | None
     kind: str
     shape: tuple[int, int]
+    value_src: jax.Array | None = None
+
+    def refresh(self, data: jax.Array) -> "SmvmAutoPlan":
+        """Re-bind the plan to NEW values of the SAME pattern (``data`` =
+        the updated ORIGINAL-order CSR ``.data``) — the Newton /
+        time-stepping idiom; jit-compatible given the plan.
+
+        Supported for ``segtile`` (one gather via ``seg_tiles_refresh``;
+        build with ``smvm_prepare(refreshable=True)``) and ``xla`` (the
+        row-binned plan is value-free).  The blocked rungs (``blockseg``,
+        ``bell``) and ``hubsplit`` re-block values through host layouts —
+        re-run :func:`smvm_prepare` for those (the kernel-level
+        ``block_seg_tiles_refresh`` covers callers who hold the re-blocked
+        values themselves)."""
+        data = jnp.asarray(data)
+        if self.kind == "segtile":
+            from .pallas_csr import seg_tiles_refresh
+
+            a, plan = self.state
+            d = data[self.value_src] if self.value_src is not None else data
+            a2 = CSR(data=d, indices=a.indices, indptr=a.indptr,
+                     shape=a.shape)
+            return dataclasses.replace(
+                self, state=(a2, seg_tiles_refresh(plan, d)))
+        if self.kind == "xla":
+            a, plan = self.state
+            a2 = CSR(data=data, indices=a.indices, indptr=a.indptr,
+                     shape=a.shape)
+            return dataclasses.replace(self, state=(a2, plan))
+        raise NotImplementedError(
+            f"SmvmAutoPlan.refresh: the {self.kind!r} rung re-blocks values "
+            "through host layouts — re-run smvm_prepare (or use the "
+            "kernel-level refresh with re-blocked values)"
+        )
 
     def apply(self, v: jax.Array) -> jax.Array:
         """y = A v (original index space; jit-compatible)."""
@@ -106,9 +142,11 @@ class SmvmAutoPlan:
 
 def smvm_prepare(a: CSR, *, reorder: bool = True,
                  verbose: bool = False,
-                 prefer: str | None = None) -> SmvmAutoPlan:
-    """Eager, host-side structure analysis + plan build (once per pattern
-    AND value set — the tile plans bind values; rebuild on value change).
+                 prefer: str | None = None,
+                 refreshable: bool = False) -> SmvmAutoPlan:
+    """Eager, host-side structure analysis + plan build (once per
+    pattern; value updates go through :meth:`SmvmAutoPlan.refresh` where
+    supported — pass ``refreshable=True`` — else rebuild).
 
     Decision ladder, in measured-preference order (docs/performance.md;
     thresholds are this chip's measured crossover points):
@@ -128,7 +166,9 @@ def smvm_prepare(a: CSR, *, reorder: bool = True,
     rung by name, overriding its structure HEURISTIC but not its
     capability/correctness requirements (squareness, index ranges,
     residency caps) — an override/testing hook; off-TPU backends run any
-    Pallas path in interpret mode."""
+    Pallas path in interpret mode.  ``refreshable=True`` retains the
+    value-gather tables so :meth:`SmvmAutoPlan.refresh` re-binds new
+    values without the host pass (segtile/xla rungs)."""
     from ..utils.stats import csr_block_fill, detect_block_size
     from .pallas_csr import _MAX_RESIDENT, _MIN_FILL, build_seg_tiles
     from .reorder import csr_bandwidth
@@ -181,20 +221,24 @@ def smvm_prepare(a: CSR, *, reorder: bool = True,
 
     # 2. scalar segment tiles (with RCM only when the bandwidth needs it)
     if want("segtile", n + m <= _MAX_RESIDENT, lambda: on_tpu):
-        perm, ap = None, a
+        perm, ap, vsrc = None, a, None
         if reorder and n == m:
-            from .reorder import reorder_for_locality
+            from .reorder import csr_bandwidth as _bw
+            from .reorder import permute_apply, permute_prepare, rcm_order
 
             bw0 = csr_bandwidth(a)
             # a bandwidth within a few operand windows already tiles
             # densely — skip the RCM pass (comparable in cost to the plan
             # build itself) for well-ordered inputs
             if bw0 > 16 * 128:
-                ap2, perm2 = reorder_for_locality(a)
-                if csr_bandwidth(ap2) < bw0 / 2:
+                perm2 = rcm_order(a)
+                pplan = permute_prepare(a, perm2, perm2)
+                ap2 = permute_apply(pplan, a)
+                if _bw(ap2) < bw0 / 2:
                     perm, ap = perm2, ap2
+                    vsrc = pplan.src  # original slot -> plan entry order
         try:
-            plan = build_seg_tiles(ap, wsub="auto")
+            plan = build_seg_tiles(ap, wsub="auto", refreshable=refreshable)
         except ValueError:
             plan = None
         if plan is not None and plan.fill >= _MIN_FILL:
@@ -203,7 +247,8 @@ def smvm_prepare(a: CSR, *, reorder: bool = True,
             pj = None if perm is None else jnp.asarray(perm)
             inv = None if perm is None else jnp.asarray(np.argsort(perm))
             return SmvmAutoPlan(state=(ap, plan), perm=pj, inv_perm=inv,
-                                kind="segtile", shape=(n, m))
+                                kind="segtile", shape=(n, m),
+                                value_src=vsrc)
 
     # 3. BELL block storage (bsz >= 8, no column locality needed)
     if want("bell", n == m, lambda: True):
@@ -216,20 +261,14 @@ def smvm_prepare(a: CSR, *, reorder: bool = True,
                                 inv_perm=None, kind="bell", shape=(n, m))
 
     # 4. hub/tail split for heavy-tailed degree distributions.  The mass
-    # check is a pure degree-histogram computation — the full split (two
-    # CSR extractions + two plans) is built only when the strip qualifies
-    def _hub_mass():
-        if not (on_tpu and n >= 4096):
-            return False
-        k = int(np.asarray(a.indptr)[-1])
-        if k == 0:
-            return False
-        deg = np.bincount(np.asarray(a.indices[:k], np.int64), minlength=m)
-        H = min(32 * 128 * 4, m)
-        top = np.partition(deg, m - H)[m - H:].sum() if H < m else k
-        return top / k >= 0.08
+    # check is a pure degree-histogram computation (shared with the split
+    # itself, so the gate and the build agree on the strip) — the full
+    # split (two CSR extractions + two plans) is built only when the
+    # strip qualifies
+    from .hub_split import hub_mass_fraction
 
-    if want("hubsplit", True, _hub_mass):
+    if want("hubsplit", True,
+            lambda: on_tpu and n >= 4096 and hub_mass_fraction(a) >= 0.08):
         from .hub_split import hub_split_prepare
 
         split = hub_split_prepare(a)

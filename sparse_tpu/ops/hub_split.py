@@ -38,7 +38,28 @@ from ..formats.csr import CSR
 from .pallas_csr import SegTilePlan, build_seg_tiles, csr_smvm_segtile
 from .spmv import SpmvPlan, build_spmv_plan, csr_smvm_fast
 
-__all__ = ["HubSplit", "hub_split_prepare", "hub_split_smvm"]
+__all__ = ["HubSplit", "hub_split_prepare", "hub_split_smvm",
+           "hub_mass_fraction", "DEFAULT_HUB_COLS"]
+
+#: Default hub-strip width: four wsub=32 operand windows — the measured
+#: sweet spot of the chip sweep (module docstring).
+DEFAULT_HUB_COLS = 32 * 128 * 4
+
+
+def hub_mass_fraction(a: CSR, max_hub_cols: int | None = None) -> float:
+    """Fraction of stored entries carried by the top-degree column strip
+    (the strip :func:`hub_split_prepare` would take) — a pure degree-
+    histogram computation, cheap enough to GATE the full split build
+    (ops/dispatch.py uses it before paying the two CSR extractions)."""
+    n, m = a.shape
+    H = min(max_hub_cols if max_hub_cols is not None else DEFAULT_HUB_COLS,
+            m)
+    k = int(np.asarray(a.indptr)[-1])
+    if k == 0 or H == 0:
+        return 0.0
+    deg = np.bincount(np.asarray(a.indices[:k], np.int64), minlength=m)
+    top = np.partition(deg, m - H)[m - H:].sum() if H < m else k
+    return float(top / k)
 
 
 @partial(
@@ -70,13 +91,14 @@ def hub_split_prepare(a: CSR, max_hub_cols: int | None = None,
                       wsub: int = 32) -> HubSplit:
     """Host-side split (eager, once per pattern + values).
 
-    ``max_hub_cols`` defaults to ``wsub * 128 * 4`` (= 16384: four operand
-    windows — the measured sweet spot of the chip sweep, see module
-    docstring); hubs are the highest-degree columns.  Works for any
+    ``max_hub_cols`` defaults to ``DEFAULT_HUB_COLS`` (= 16384: four
+    operand windows — the measured sweet spot of the chip sweep, see
+    module docstring); hubs are the highest-degree columns.  Works for any
     square/rectangular CSR; only worth it when the degree distribution is
     heavy-tailed (check ``HubSplit.hub_fraction``)."""
     n, m = a.shape
-    H = min(max_hub_cols if max_hub_cols is not None else wsub * 128 * 4, m)
+    H = min(max_hub_cols if max_hub_cols is not None else DEFAULT_HUB_COLS,
+            m)
     indptr = np.asarray(a.indptr, np.int64)
     k = int(indptr[-1])
     cols = np.asarray(a.indices[:k], np.int64)

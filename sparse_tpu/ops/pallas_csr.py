@@ -144,10 +144,11 @@ def build_seg_tiles(a: CSR, wsub: int = 8, rows: int = 8,
     ``wsub*128`` columns into fewer, fuller tiles (e.g. a +-1000 band at 20
     nnz/row measures fill 0.045 at wsub=8 under first-fit; the block's
     ~2000-column span fits one wsub=16 window at fill 0.066).
-    ``wsub="auto"`` builds the cheap symbolic sweep for all three and
-    widens when it cuts tiles by >= 1.2x per doubling — the measured
-    per-vreg cost is ~46 ns + ~8.7 ns per extra 8-sublane gather chunk
-    (docs/performance.md, round 4).
+    ``wsub="auto"`` runs the cheap symbolic sweep for all three widths
+    and picks the argmin of ``tiles * (1 + 0.05 * extra_chunk_pairs)`` —
+    re-measured in round 5: a wider window at equal tile count costs only
+    ~1-5%% on the two-phase kernel, so widening pays for nearly any tile
+    cut (docs/performance.md "Auto-widening retune").
 
     ``rows`` (8 or 32): row-block height.  32 packs 4 VPU vregs per tile
     sharing one window slice and one output RMW; measured on the 10M-nnz

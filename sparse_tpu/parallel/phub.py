@@ -42,7 +42,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..formats.csr import CSR
-from ..ops.segmented import row_ids_from_indptr, segment_sum
+from ..ops.segmented import segment_sum
 from .pcsr import put_sharded
 
 __all__ = ["PHubSplit", "phub_partition", "phub_spmv"]
@@ -91,7 +91,7 @@ class PHubSplit:
 
 
 def phub_partition(a: CSR, mesh: Mesh, axis: str = "shards",
-                   max_hub_cols: int = 16384) -> PHubSplit:
+                   max_hub_cols: int | None = None) -> PHubSplit:
     """Eager host split (once per pattern + mesh): contiguous row slabs;
     hubs = the ``max_hub_cols`` highest-degree columns, compact space
     ordered by descending degree (the measured single-chip layout)."""
@@ -105,15 +105,16 @@ def phub_partition(a: CSR, mesh: Mesh, axis: str = "shards",
     data = np.asarray(a.data[:k])
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
 
-    H = min(max_hub_cols, m)
+    from ..ops.hub_split import DEFAULT_HUB_COLS
+
+    H = min(max_hub_cols if max_hub_cols is not None else DEFAULT_HUB_COLS,
+            m)
     deg = np.bincount(cols, minlength=m)
     hub_ids = np.argpartition(deg, m - H)[m - H:] if H < m else \
         np.arange(m, dtype=np.int64)
     hub_ids = hub_ids[np.argsort(-deg[hub_ids], kind="stable")]
     is_hub = np.zeros(m, bool)
     is_hub[hub_ids] = True
-    compact = np.zeros(m, np.int64)
-    compact[hub_ids] = np.arange(hub_ids.size)
 
     # operand ownership: shard s owns global operand entries
     # [s*cols_p, (s+1)*cols_p); its owned hub entries, at their positions

@@ -83,3 +83,60 @@ def test_dispatch_hubsplit():
     # test_pallas_csr.test_hub_split_matches_oracle; checking selection +
     # plan shape here keeps the suite budget (interpret applies are ~10 s)
     assert plan.state[0].hub_fraction > 0
+
+
+def test_dispatch_hubsplit_glue_applies():
+    """The dispatch glue for the hubsplit rung (state unpacking +
+    interpret flag) on a tiny fixture."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(9)
+    n = 500
+    rows = np.repeat(np.arange(n, dtype=np.int64), 3)
+    cols = (np.minimum(rng.zipf(1.2, rows.size), n) - 1).astype(np.int64)
+    s = sp.coo_matrix(
+        (rng.standard_normal(rows.size).astype(np.float32), (rows, cols)),
+        shape=(n, n)).tocsr()
+    s.sum_duplicates()
+    a = st.CSR(data=jnp.asarray(s.data), indices=jnp.asarray(s.indices),
+               indptr=jnp.asarray(s.indptr.astype(np.int64)), shape=(n, n))
+    plan = smvm_prepare(a, prefer="hubsplit")
+    assert plan.kind == "hubsplit"
+    _apply_and_check(plan, s.toarray())
+
+
+def test_dispatch_refresh():
+    """smvm_prepare(refreshable=True) -> plan.refresh rebinds values in
+    one device gather (segtile, incl. the composed reorder's value
+    mapping) and trivially for the value-free XLA rung; blocked rungs
+    refuse with guidance."""
+    rng = np.random.default_rng(11)
+    n = 160
+    x = np.zeros((n, n), np.float32)
+    order = rng.permutation(n)  # scrambled band -> dispatch composes RCM
+    for i in range(n):
+        js = np.clip(i + rng.integers(-6, 7, size=4), 0, n - 1)
+        x[order[i], order[js]] = rng.standard_normal(js.size)
+    a = st.csr_from_dense(jnp.asarray(x))
+    plan = smvm_prepare(a, prefer="segtile", refreshable=True)
+    assert plan.kind == "segtile"
+    v = rng.standard_normal(n).astype(np.float32)
+    p2 = plan.refresh(a.data * -1.5)
+    y = np.asarray(p2.apply(jnp.asarray(v)))
+    np.testing.assert_allclose(y, (x * -1.5) @ v, rtol=2e-4, atol=2e-4)
+    # xla rung: value-free plan, refresh replaces the data
+    px = smvm_prepare(a, prefer="xla")
+    y2 = np.asarray(px.refresh(a.data * 2.0).apply(jnp.asarray(v)))
+    np.testing.assert_allclose(y2, (x * 2.0) @ v, rtol=2e-4, atol=2e-4)
+    # blocked rung refuses with guidance
+    from tests.test_pallas_csr_block import _block_matrix
+
+    xb = _block_matrix(48, 2, seed=1)
+    ab = st.csr_from_dense(jnp.asarray(xb))
+    pb = smvm_prepare(ab, prefer="blockseg")
+    with pytest.raises(NotImplementedError, match="re-run smvm_prepare"):
+        pb.refresh(ab.data)
+    # non-refreshable segtile plans refuse too
+    p3 = smvm_prepare(a, prefer="segtile")
+    with pytest.raises(ValueError, match="refreshable"):
+        p3.refresh(a.data)
